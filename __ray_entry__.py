@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Transcripts-based queries run over a deterministic synthetic transcripts
+table (datagen.py, seed=42 — BASELINE.json input_hint shape) cached
+under /tmp/mla_ray; the matching oracle SQL reads the same parquet file,
+and both sides share the exact regex/lookup constants (oracle.py), so
+the comparison is an end-to-end equivalence proof of the parse ->
+classify -> enrich -> route -> aggregate semantics. Testdata-based
+queries run over the driver's sf tables with plain ANSI-SQL oracles.
 """
 
 from __future__ import annotations
@@ -18,27 +17,298 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.01"
+
+
+def _transcripts(sf_dir: str) -> str:
+    from matomo_log_analytics_ray import datagen
+
+    return datagen.transcripts_path(datagen.sf_from_dir(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale transcripts; returns the
+    per-sink/outcome aggregate table (driver checks rows >= 0)."""
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.pipelines import flagship
+
+    path = datagen.transcripts_path("sf0.001")
+    result = flagship.run_flagship(path)
+    return result["sink_counts"].sort_values(["sink", "outcome"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_flagship_sink_outcome_counts(sf_dir: str):
+    from matomo_log_analytics_ray.pipelines import flagship
+    from matomo_log_analytics_ray.stages import aggregate
+
+    ds = flagship.build_pipeline(_transcripts(sf_dir))
+    return aggregate.sink_outcome_counts(ds).to_pandas()
+
+
+def _q_flagship_global_counters(sf_dir: str):
+    from matomo_log_analytics_ray.pipelines import flagship
+    from matomo_log_analytics_ray.stages import aggregate
+    import pandas as pd
+
+    ds = flagship.build_pipeline(_transcripts(sf_dir))
+    counters = aggregate.global_counters(aggregate.sink_outcome_counts(ds).to_pandas())
+    counters.pop("sum_imported_ignored_lines")  # not in the oracle projection
+    return pd.DataFrame([counters])
+
+
+def _q_flagship_routed_tool_bash(sf_dir: str):
+    from matomo_log_analytics_ray.pipelines import flagship
+
+    ds = flagship.build_pipeline(_transcripts(sf_dir))
+    return (
+        ds.filter(expr="sink == 'tool-bash'")
+        .select_columns(["conv_id", "turn_idx", "role", "text", "outcome"])
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def _q_parse_format_counts(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.stages import parse
+
+    def partial(batch):
+        t = parse.parse_batch(batch)
+        fmt = t["fmt"].to_pandas().fillna("none")
+        g = fmt.value_counts().rename_axis("fmt").reset_index(name="n")
+        return pd.DataFrame({"fmt": g["fmt"].astype(str), "n": g["n"].astype("int64")})
+
+    ds = ray.data.read_parquet(_transcripts(sf_dir), columns=["text"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _q_date_extract(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import dates
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["log_date"] = dates.extract_date(batch["path"])
+        return batch
+
+    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def _q_o1_recent_events(sf_dir: str):
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .sort(["ts", "event_id"], descending=[True, True])
+        .limit(1000)
+    )
+
+
+def _q_d1_dedup_events(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Min
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("event_id", alias_name="event_id"))
+    )
+
+
+def _q_a3_resume_offset(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Max
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+        .groupby("user_id")
+        .aggregate(Max("value", alias_name="max_value"))
+    )
+
+
+def _q_a7_event_type_counts(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    # partial combiner inside map_batches, then a tiny shuffle (A7 shape)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", as_index=False).agg(
+            n=("event_type", "size"), total_value=("value", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def round2(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_value"] = batch["total_value"].round(2)
+        return batch
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+        .map_batches(round2, batch_format="pandas")
+    )
+
+
+def _q_j2_orders_semi_join(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    # broadcast small side (J2): customer keys of one nation via ray.put
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    keys = set(
+        cust.filter(pc.equal(cust["c_nationkey"], 1))["c_custkey"].to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch):
+            import pyarrow as pa
+
+            mask = pc.is_in(
+                batch["o_custkey"], value_set=pa.array(list(self.keys), pa.int64())
+            )
+            return batch.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        SemiJoin,
+        fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def _q_q1_lineitem_agg(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def round2(batch: pd.DataFrame) -> pd.DataFrame:
+        # sums of 2-decimal money values are exact at 2dp; rounding both
+        # sides removes float-summation-order noise vs the SQL oracle
+        batch["sum_qty"] = batch["sum_qty"].round(2)
+        batch["sum_price"] = batch["sum_price"].round(2)
+        return batch
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(round2, batch_format="pandas")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    # ensure deterministic inputs exist before the driver's oracle runs
+    from matomo_log_analytics_ray import datagen
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    datagen.transcripts_path("sf0.01")
+    datagen.log_paths_path()
+
+    return {
+        "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
+        "flagship_global_counters": _q_flagship_global_counters,
+        "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
+        "parse_format_counts": _q_parse_format_counts,
+        "m8_date_extract": _q_date_extract,
+        "o1_recent_events": _q_o1_recent_events,
+        "d1_dedup_events": _q_d1_dedup_events,
+        "a3_resume_offset": _q_a3_resume_offset,
+        "a7_event_type_counts": _q_a7_event_type_counts,
+        "j2_orders_semi_join": _q_j2_orders_semi_join,
+        "q1_lineitem_agg": _q_q1_lineitem_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from matomo_log_analytics_ray import datagen, oracle
+
+    tpath = datagen.transcripts_path("sf0.01")
+    lpath = datagen.log_paths_path()
+    src = oracle.transcripts_source(tpath)
+
+    return {
+        "flagship_sink_outcome_counts": oracle.sink_outcome_counts_sql(src),
+        "flagship_global_counters": oracle.global_counters_sql(src),
+        "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),
+        "parse_format_counts": oracle.format_counts_sql(src),
+        "m8_date_extract": oracle.date_extract_sql(lpath),
+        "o1_recent_events": (
+            "SELECT event_id, ts, user_id, event_type FROM events "
+            "ORDER BY ts DESC, event_id DESC LIMIT 1000"
+        ),
+        "d1_dedup_events": (
+            "SELECT user_id, event_type, MIN(event_id) AS event_id "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "a3_resume_offset": (
+            "SELECT user_id, MAX(value) AS max_value FROM events GROUP BY user_id"
+        ),
+        "a7_event_type_counts": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(value), 2) AS total_value FROM events GROUP BY event_type"
+        ),
+        "j2_orders_semi_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)"
+        ),
+        "q1_lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_price, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+    }

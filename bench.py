@@ -1,0 +1,192 @@
+"""Benchmark driver.
+
+Plain run: executes the headline pipelines under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line: {"metric": ..., "value": <headline sec>, "unit": "sec",
+"queries": {...}, "sf": ..., "num_cpus": N, ...}.
+
+``--scaling``: runs the headline flagship pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the SAME input — the sandbox
+stand-in for the N vs 4N node criterion in BASELINE.json — and prints
+throughput at both levels plus the scaling efficiency
+(= (t_lo/t_hi) / (cpus_hi/cpus_lo); 1.0 = linear).
+
+The flagship input is the deterministic synthetic transcripts table
+(datagen.py, seed=42). The scaling run uses a larger fixed-size
+instance (MLA_BENCH_TURNS, default 8M turns) so per-run fixed costs
+(actor-pool spin-up, plan start) do not drown the compute being
+measured; the input is generated once and cached under /tmp/mla_ray.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _bench_transcripts_path(n_turns: int) -> str:
+    """Fixed-size bench transcripts, generated once, cached."""
+    import pyarrow.parquet as pq
+
+    from matomo_log_analytics_ray import datagen
+
+    os.makedirs(datagen.CACHE_DIR, exist_ok=True)
+    path = os.path.join(datagen.CACHE_DIR, f"transcripts_bench_{n_turns}_seed42.parquet")
+    if not os.path.exists(path):
+        tbl = datagen.generate_transcripts(n_turns, seed=42)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=max(65536, n_turns // 64))
+        os.replace(tmp, path)
+    return path
+
+
+def _warm(path: str) -> None:
+    # touch every byte once so the OS page cache is hot for the timed run
+    with open(path, "rb", buffering=1 << 22) as f:
+        while f.read(1 << 22):
+            pass
+
+
+def run_flagship_timed(path: str) -> tuple[float, int]:
+    from matomo_log_analytics_ray.pipelines import flagship
+    from matomo_log_analytics_ray.stages import aggregate
+
+    t0 = time.monotonic()
+    ds = flagship.build_pipeline(path)
+    counts = aggregate.sink_outcome_counts(ds).to_pandas()
+    wall = time.monotonic() - t0
+    return wall, int(counts["n"].sum())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    bench_turns = int(os.environ.get("MLA_BENCH_TURNS", "8000000"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        # pre-generate the shared input once (untimed, in this process)
+        path = _bench_transcripts_path(bench_turns)
+        out = {}
+        for ncpu in (lo, hi):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_SF_DIR=sf_dir,
+                MLA_BENCH_TURNS=str(bench_turns),
+            )
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            out[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
+        eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship parse->enrich->route->aggregate scaling",
+                    "unit": "sec",
+                    "rows": out[hi]["rows"],
+                    f"sec_{lo}": out[lo]["sec"],
+                    f"sec_{hi}": out[hi]["sec"],
+                    f"turns_per_sec_{lo}": round(out[lo]["rows"] / out[lo]["sec"]),
+                    f"turns_per_sec_{hi}": round(out[hi]["rows"] / out[hi]["sec"]),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+
+    if "--scaling-worker" in sys.argv:
+        _init_ray(num_cpus)
+        path = _bench_transcripts_path(bench_turns)
+        _warm(path)
+        run_flagship_timed(path)  # untimed warm-up (JIT, actor images)
+        wall, rows = run_flagship_timed(path)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps({"sec": round(wall, 3), "rows": rows, "num_cpus": num_cpus}))
+        return
+
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    from matomo_log_analytics_ray import datagen
+
+    sf = datagen.sf_from_dir(sf_dir)
+    tpath = datagen.transcripts_path(sf)
+    _warm(tpath)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    wall, rows = run_flagship_timed(tpath)
+    queries["flagship"] = round(wall, 3)
+
+    t0 = time.monotonic()
+    from matomo_log_analytics_ray.pipelines import flagship as _fl
+
+    _fl.run_flagship(tpath, out_dir="/tmp/mla_bench/routed")
+    queries["flagship_routed_write"] = round(time.monotonic() - t0, 3)
+
+    q = entrymod.queries()
+    for name in (
+        "q1_lineitem_agg",
+        "a7_event_type_counts",
+        "d1_dedup_events",
+        "o1_recent_events",
+        "j2_orders_semi_join",
+        "m8_date_extract",
+    ):
+        t0 = time.monotonic()
+        res = q[name](sf_dir)
+        # consume lazily-built datasets so the timing is end-to-end
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    import ray
+
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "flagship transcripts parse->enrich->aggregate wall time",
+                "value": queries["flagship"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "rows": rows,
+                "turns_per_sec": round(rows / queries["flagship"]),
+                "num_cpus": num_cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Deterministic synthetic transcripts generator.
+
+Produces the authoritative input shape from BASELINE.json `input_hint`:
+(conv_id:string, turn_idx:int32, role:string, text:large_string,
+tool:string, ts:timestamp[us]). Conversation sizes are Zipf-skewed so a
+few conv_ids are hotspots (exercises salted aggregation and routing
+balance), and the `text` column mixes payload families so the parse
+stage has real work (FIXTURES.md F1): NCSA-extended access-log lines,
+nginx-JSON lines, W3C-extended lines, free prose, and truncated/
+malformed lines; a slice of log lines carries bot user-agents.
+
+Everything is seeded (default 42) and pure numpy/pandas — same inputs
+=> byte-identical parquet, which is what lets the DuckDB oracle and the
+Ray pipeline read the same table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schemas
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+ROLE_W = np.array([0.3, 0.3, 0.1, 0.3])
+
+TOOLS = np.array(["search", "browser", "bash", "python", ""])
+TOOL_W = np.array([0.2, 0.15, 0.2, 0.15, 0.3])
+
+FAMILIES = np.array(["ncsa", "nginx_json", "w3c", "prose", "malformed"])
+FAMILY_W = np.array([0.35, 0.2, 0.15, 0.22, 0.08])
+
+METHODS = np.array(["GET", "GET", "GET", "POST", "HEAD"])
+PATHS = np.array(
+    [
+        "/index.html",
+        "/article/view/123",
+        "/journal/abc/issue/4",
+        "/search?q=metrics",
+        "/static/app.css",
+        "/static/app.js",
+        "/img/logo.png",
+        "/favicon.ico",
+        "/admin/login",
+        "/internal/health",
+        "/api/v1/export",
+        "/pdf/read/889",
+    ]
+)
+STATUSES = np.array([200, 200, 200, 200, 206, 301, 302, 304, 404, 403, 500, 503])
+REFERRERS = np.array(["-", "https://scholar.example/org", "https://news.example/x", "-"])
+USER_AGENTS = np.array(
+    [
+        "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/121.0",
+        "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/120.0",
+        "Mozilla/5.0 (Macintosh) Safari/605.1.15",
+        "Googlebot/2.1 (+http://www.google.com/bot.html)",
+        "bingbot/2.0 (+http://www.bing.com/bingbot.htm)",
+        "python-requests/2.31 crawler",
+        "curl/8.4.0",
+    ]
+)
+PROSE_WORDS = np.array(
+    (
+        "the model ran a query over the table and returned rows sorted by key "
+        "please summarize the access pattern for this conversation and list "
+        "errors found while parsing recent log files from the ingest queue"
+    ).split()
+)
+
+
+def generate_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+
+    # Zipf-skewed conversation sizes, clipped to [1, 64] (FIXTURES.md F1).
+    sizes = []
+    total = 0
+    while total < n_turns:
+        draw = np.clip(rng.zipf(1.3, size=4096), 1, 64)
+        sizes.append(draw)
+        total += int(draw.sum())
+    sizes = np.concatenate(sizes)
+    cum = np.cumsum(sizes)
+    n_convs = int(np.searchsorted(cum, n_turns) + 1)
+    sizes = sizes[:n_convs]
+    sizes[-1] -= int(cum[n_convs - 1] - n_turns) if cum[n_convs - 1] > n_turns else 0
+
+    conv_nums = np.repeat(np.arange(n_convs), sizes)
+    # vectorized conv-%08d (zfill via C string kernels, no Python loop)
+    conv_id = (
+        "conv-" + pd.Series(conv_nums.astype(str)).str.zfill(8)
+    ).to_numpy(dtype=object)
+    turn_idx = (np.arange(n_turns) - np.repeat(np.cumsum(sizes) - sizes, sizes)).astype(
+        np.int32
+    )
+
+    role = rng.choice(ROLES, size=n_turns, p=ROLE_W)
+    tool = rng.choice(TOOLS, size=n_turns, p=TOOL_W)
+    # role 'tool' always names a tool; non-tool roles may have ''.
+    tool = np.where((role == "tool") & (tool == ""), "bash", tool)
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    conv_offset = (conv_nums.astype(np.int64) * 97_000_000) % (86_400_000_000 * 365)
+    ts = base + conv_offset + turn_idx.astype(np.int64) * 7_000_000
+
+    fam = rng.choice(FAMILIES, size=n_turns, p=FAMILY_W)
+    ip = (
+        "10."
+        + rng.integers(1, 255, size=n_turns).astype(str).astype(object)
+        + "."
+        + rng.integers(0, 255, size=n_turns).astype(str).astype(object)
+        + "."
+        + rng.integers(1, 255, size=n_turns).astype(str).astype(object)
+    )
+    method = rng.choice(METHODS, size=n_turns)
+    path = rng.choice(PATHS, size=n_turns)
+    status = rng.choice(STATUSES, size=n_turns)
+    nbytes = rng.integers(64, 1 << 20, size=n_turns)
+    referrer = rng.choice(REFERRERS, size=n_turns)
+    ua = rng.choice(USER_AGENTS, size=n_turns, p=[0.25, 0.25, 0.2, 0.1, 0.08, 0.07, 0.05])
+
+    tss = pd.Series(ts)
+    t_ncsa = tss.dt.strftime("%d/%b/%Y:%H:%M:%S +0000").to_numpy(object)
+    t_iso = tss.dt.strftime("%Y-%m-%dT%H:%M:%SZ").to_numpy(object)
+    t_w3c_d = tss.dt.strftime("%Y-%m-%d").to_numpy(object)
+    t_w3c_t = tss.dt.strftime("%H:%M:%S").to_numpy(object)
+
+    s = status.astype(str).astype(object)
+    b = nbytes.astype(str).astype(object)
+    ncsa = (
+        ip + " - - [" + t_ncsa + '] "' + method.astype(object) + " "
+        + path.astype(object) + ' HTTP/1.1" ' + s + " " + b + ' "'
+        + referrer.astype(object) + '" "' + ua.astype(object) + '"'
+    )
+    nginx = (
+        '{"remote_addr":"' + ip + '","time":"' + t_iso + '","method":"'
+        + method.astype(object) + '","path":"' + path.astype(object)
+        + '","status":' + s + ',"bytes":' + b + ',"referer":"'
+        + referrer.astype(object) + '","ua":"' + ua.astype(object) + '"}'
+    )
+    ua_plus = pd.Series(ua).str.replace(" ", "+", regex=False).to_numpy(object)
+    w3c = (
+        t_w3c_d + " " + t_w3c_t + " " + ip + " " + method.astype(object) + " "
+        + path.astype(object) + " " + s + " " + b + " " + ua_plus
+    )
+    prose_idx = rng.integers(0, len(PROSE_WORDS), size=(n_turns, 8))
+    prose = PROSE_WORDS.astype(object)[prose_idx[:, 0]]
+    for k in range(1, 8):
+        prose = prose + " " + PROSE_WORDS.astype(object)[prose_idx[:, k]]
+    malformed = pd.Series(ncsa).str.slice(0, 25).to_numpy(object)
+
+    text = np.select(
+        [fam == "ncsa", fam == "nginx_json", fam == "w3c", fam == "prose"],
+        [ncsa, nginx, w3c, prose],
+        default=malformed,
+    )
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.large_string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        },
+        schema=schemas.TRANSCRIPTS,
+    )
+
+
+# sf -> number of turns (mirrors the driver's lineitem scaling: sf0.01 ~ 60k).
+SF_TURNS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+CACHE_DIR = "/tmp/mla_ray"
+
+
+def transcripts_path(sf: str = "sf0.01", seed: int = 42) -> str:
+    """Generate (once) and return the cached parquet path for a scale.
+
+    Written with multiple row groups so Ray Data and pyarrow can split
+    the file into several blocks/partitions.
+    """
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"transcripts_{sf}_seed{seed}.parquet")
+    if not os.path.exists(path):
+        n = SF_TURNS.get(sf, 60_000)
+        tbl = generate_transcripts(n, seed=seed)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=max(2048, n // 32))
+        os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Log-path registry fixture (FIXTURES.md F2): deterministic corpus of file
+# paths exercising the routing/date/validity extractors, for driver queries.
+# ---------------------------------------------------------------------------
+_PATH_TEMPLATES = [
+    "/usage/scl/node03/{d}.log.gz",
+    "/usage/scl/hiperion/apache/{d}.log.gz",
+    "/usage/scl/hiperion/varnish/{d}.log.gz",
+    "/usage/scl/varnishncsa/node03/{d}.log.gz",
+    "/usage/nbr/scielo.nbr.2.{d}.log.gz",
+    "/usage/nbr/newbrvarnish02/x-{d}.log.gz",
+    "/usage/dat/dataverse/data.scielo.{d}.log.gz",
+    "/usage/dat/dataverse/plain-{d}.log.gz",
+    "/usage/pre/preprints/preprints.{d}.log.gz",
+    "/usage/pre/preprints/error/preprints.{d}.log.gz",
+    "/usage/ven/apache/centos-2gb-nyc3-01/{d}.ve-scielo-org.log.gz",
+    "/usage/ven/logs-ha/x-{d}.log.gz",
+    "/usage/arg/scielo.ar.{d}.log.gz",
+    "/usage/esp/01_scielo.es.{d}.log.gz",
+    "/usage/scielo.cu/access-{d}.log.gz",
+    "/usage/misc/unknown-{d}.log.gz",
+    "/usage/misc/nodate.log.gz",
+    "/usage/misc/bad-2020-13-45.log.gz",
+    "/usage/misc/compact.{c}.log.gz",
+]
+
+
+def generate_log_paths(seed: int = 42) -> pa.Table:
+    """Cross the path templates with dates spanning every rule boundary
+    (2020-04-29, 2021-05-25, 2022-04-05, 2022-05-08) plus compact-format
+    dates; one (collection, path) row per combination."""
+    days = pd.concat(
+        [
+            pd.Series(pd.date_range("2020-04-25", periods=8, freq="D")),
+            pd.Series(pd.date_range("2021-05-22", periods=6, freq="D")),
+            pd.Series(pd.date_range("2022-04-03", periods=6, freq="D")),
+            pd.Series(pd.date_range("2022-05-06", periods=6, freq="D")),
+        ]
+    )
+    rows = []
+    for tmpl in _PATH_TEMPLATES:
+        coll = tmpl.split("/")[2]
+        coll = coll if len(coll) == 3 else ("cub" if "scielo.cu" in tmpl else "xxx")
+        for day in days:
+            p = tmpl.format(d=day.strftime("%Y-%m-%d"), c=day.strftime("%Y%m%d"))
+            rows.append((coll, p))
+    df = pd.DataFrame(rows, columns=["collection", "path"]).drop_duplicates(
+        subset=["collection", "path"]
+    )
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def log_paths_path(seed: int = 42) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"log_paths_seed{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_log_paths(seed), tmp, row_group_size=512)
+        os.replace(tmp, path)
+    return path
+
+
+def sf_from_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our sf key."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in SF_TURNS else "sf0.01"

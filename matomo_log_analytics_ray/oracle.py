@@ -1,0 +1,163 @@
+"""DuckDB oracle-SQL builders.
+
+Every SQL string here is generated from the SAME RE2 pattern constants
+and lookup tables the Ray stages execute (stages/parse.py,
+stages/classify.py, stages/enrich.py), so the oracle and the engine
+provably apply identical extraction/classification/routing semantics.
+Used both by the pytest golden tests and by __ray_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from .stages import classify, enrich, parse
+
+_GROUP_INDEX = {
+    # format -> field -> RE2 group number (named groups count in order)
+    "ncsa_extended": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
+    "nginx_json": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
+    "w3c_extended": {"ip": 3, "method": 4, "path": 5, "status": 6, "bytes": 7, "agent": 8},
+}
+_PATTERNS = {fmt: pattern for fmt, pattern, _ in parse.FORMATS}
+
+
+def _field_sql(field: str, cast: str | None = None) -> str:
+    branches = []
+    for fmt, _, fields in parse.FORMATS:
+        if field not in _GROUP_INDEX[fmt]:
+            continue
+        expr = f"regexp_extract(text, '{_PATTERNS[fmt]}', {_GROUP_INDEX[fmt][field]})"
+        if cast:
+            expr = f"CAST({expr} AS {cast})"
+        branches.append(f"WHEN fmt = '{fmt}' THEN {expr}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def parsed_cte(source_sql: str) -> str:
+    """CTE chain src -> parsed -> classified -> enriched over any
+    source relation with transcripts columns."""
+    fmt_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(text, '{pattern}') THEN '{fmt}'"
+        for fmt, pattern, _ in parse.FORMATS
+    ) + " END"
+
+    filtered_pred = " OR ".join(
+        f"path LIKE '{p}%'" for p in classify.EXCLUDED_PREFIXES
+    )
+    outcome_case = f"""CASE
+        WHEN fmt IS NULL THEN 'invalid'
+        WHEN {filtered_pred} THEN 'filtered'
+        WHEN regexp_matches(path, '{classify.RE_STATIC_PATH}') THEN 'static'
+        WHEN regexp_matches(user_agent, '{classify.RE_BOT_AGENT}') THEN 'bot'
+        WHEN http_status >= 300 AND http_status < 400 THEN 'http_redirect'
+        WHEN http_status >= 400 THEN 'http_error'
+        ELSE 'imported' END"""
+
+    tool_branches = " ".join(
+        f"WHEN tool = '{t}' THEN '{s}'" for t, s in enrich.DEFAULT_TOOL_SINKS.items()
+    )
+    sink_case = f"""CASE {tool_branches}
+        WHEN role = 'system' THEN 'system'
+        ELSE 'site-' || CAST(CAST(regexp_extract(conv_id, '([0-9]+)', 1) AS BIGINT)
+                             % {enrich.NUM_SITE_SHARDS} AS VARCHAR) END"""
+
+    return f"""
+WITH src AS ({source_sql}),
+parsed AS (
+    SELECT *, {fmt_case} AS fmt FROM src
+),
+fields AS (
+    SELECT *,
+        {_field_sql("path")} AS path,
+        {_field_sql("status", "INTEGER")} AS http_status,
+        {_field_sql("bytes", "BIGINT")} AS bytes,
+        {_field_sql("agent")} AS user_agent
+    FROM parsed
+),
+classified AS (
+    SELECT *, {outcome_case} AS outcome FROM fields
+),
+enriched AS (
+    SELECT *, {sink_case} AS sink FROM classified
+)"""
+
+
+def sink_outcome_counts_sql(source_sql: str) -> str:
+    return (
+        parsed_cte(source_sql)
+        + """
+SELECT sink, outcome, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(bytes, 0)) AS BIGINT) AS total_bytes
+FROM enriched GROUP BY sink, outcome"""
+    )
+
+
+def routed_rows_sql(source_sql: str, sink: str) -> str:
+    """Routed rows of one sink under stable (conv_id, turn_idx) order —
+    the per-turn text-equality contract (BASELINE.json input_hint)."""
+    return (
+        parsed_cte(source_sql)
+        + f"""
+SELECT conv_id, turn_idx, role, text, outcome
+FROM enriched WHERE sink = '{sink}'
+ORDER BY conv_id, turn_idx"""
+    )
+
+
+def enriched_rows_sql(source_sql: str) -> str:
+    return (
+        parsed_cte(source_sql)
+        + """
+SELECT conv_id, turn_idx, fmt, path, http_status, outcome, sink
+FROM enriched ORDER BY conv_id, turn_idx"""
+    )
+
+
+def global_counters_sql(source_sql: str) -> str:
+    """The reference's Statistics counter vector
+    (/root/reference/libs/lib_summary.py:10-20) as one aggregate row."""
+
+    def cnt(outcome: str) -> str:
+        return f"SUM(CASE WHEN outcome = '{outcome}' THEN 1 ELSE 0 END)"
+
+    return (
+        parsed_cte(source_sql)
+        + f"""
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS lines_parsed,
+    CAST({cnt("imported")} AS BIGINT) AS requests_imported_successfully,
+    CAST(COUNT(*) - {cnt("imported")} AS BIGINT) AS requests_ignored,
+    CAST({cnt("filtered")} AS BIGINT) AS filtered_log_lines,
+    CAST({cnt("http_error")} AS BIGINT) AS http_errors,
+    CAST({cnt("http_redirect")} AS BIGINT) AS http_redirects,
+    CAST({cnt("invalid")} AS BIGINT) AS invalid_log_lines,
+    CAST({cnt("bot")} AS BIGINT) AS requests_done_by_bots,
+    CAST({cnt("static")} AS BIGINT) AS requests_to_static_resources
+FROM enriched"""
+    )
+
+
+def format_counts_sql(source_sql: str) -> str:
+    return (
+        parsed_cte(source_sql)
+        + """
+SELECT COALESCE(fmt, 'none') AS fmt, CAST(COUNT(*) AS BIGINT) AS n
+FROM enriched GROUP BY 1"""
+    )
+
+
+def date_extract_sql(log_paths_parquet: str) -> str:
+    """M8 date extraction: first-match-per-format + strict calendar
+    validation, hyphenated format first (control/dates.py semantics)."""
+    from .control import rules
+
+    return f"""
+SELECT collection, path,
+    COALESCE(
+        strftime(try_strptime(NULLIF(regexp_extract(path, '{rules.RE_DATE_HYPHEN}', 0), ''), '%Y-%m-%d'), '%Y-%m-%d'),
+        strftime(try_strptime(NULLIF(regexp_extract(path, '{rules.RE_DATE_COMPACT}', 0), ''), '%Y%m%d'), '%Y-%m-%d'),
+        '') AS log_date
+FROM read_parquet('{log_paths_parquet}')"""
+
+
+def transcripts_source(parquet_path: str) -> str:
+    return f"SELECT * FROM read_parquet('{parquet_path}')"

@@ -1,0 +1,88 @@
+"""Grok/regex log-line parse over the transcripts ``text`` column.
+
+The Ray-native analog of import_logs.py's format-detection parsers
+(evidence for the format taxonomy: counter columns
+/root/reference/models/declarative.py:37-42 and the summary counters
+/root/reference/libs/lib_summary.py:10-20; formats are public Matomo
+knowledge). Three formats are recognized in a FIRST-MATCH-WINS cascade
+(mirroring the reference's cascaded extraction idiom,
+/root/reference/libs/lib_file_name.py:153-163): NCSA-extended,
+nginx-JSON, W3C-extended. A line matching none parses to fmt=null
+(-> outcome 'invalid').
+
+All patterns are RE2-compatible and are interpolated VERBATIM into the
+DuckDB oracle SQL (__ray_entry__.oracle_sql), so the Ray pipeline and
+the oracle provably run the same extraction. The kernel is
+pyarrow.compute.extract_regex over zero-copy Arrow batches — no Python
+row loop.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Named-group patterns; group order is the DuckDB group index order.
+RE_NCSA = (
+    r'^(?P<ip>\S+) \S+ \S+ \[(?P<when>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)[^"]*" '
+    r'(?P<status>\d{3}) (?P<bytes>\d+) '
+    r'"(?P<referrer>[^"]*)" "(?P<agent>[^"]*)"$'
+)
+RE_NGINX_JSON = (
+    r'^\{"remote_addr":"(?P<ip>[^"]*)","time":"(?P<when>[^"]*)",'
+    r'"method":"(?P<method>[^"]*)","path":"(?P<path>[^"]*)",'
+    r'"status":(?P<status>\d+),"bytes":(?P<bytes>\d+),'
+    r'"referer":"(?P<referrer>[^"]*)","ua":"(?P<agent>[^"]*)"\}$'
+)
+RE_W3C = (
+    r'^(?P<day>\d{4}-\d{2}-\d{2}) (?P<when>\d{2}:\d{2}:\d{2}) (?P<ip>\S+) '
+    r'(?P<method>[A-Z]+) (?P<path>\S+) (?P<status>\d{3}) (?P<bytes>\d+) '
+    r'(?P<agent>\S+)$'
+)
+
+# (fmt name, pattern, fields present) — cascade order matters.
+FORMATS = [
+    ("ncsa_extended", RE_NCSA, ("ip", "method", "path", "status", "bytes", "referrer", "agent")),
+    ("nginx_json", RE_NGINX_JSON, ("ip", "method", "path", "status", "bytes", "referrer", "agent")),
+    ("w3c_extended", RE_W3C, ("ip", "method", "path", "status", "bytes", "agent")),
+]
+
+UNIFIED_FIELDS = ("ip", "method", "path", "status", "bytes", "referrer", "agent")
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """Append fmt / ip / method / path / http_status / bytes / referrer /
+    user_agent columns extracted from ``text``. Zero-copy in, Arrow out.
+    """
+    text = pc.cast(batch["text"], pa.string())
+    extracts = []  # (fmt, structarray-or-None, fields)
+    for fmt, pattern, fields in FORMATS:
+        extracts.append((fmt, pc.extract_regex(text, pattern), fields))
+
+    n = len(batch)
+    fmt_col = pa.nulls(n, pa.string())
+    claimed = pa.array([False] * n, pa.bool_())
+    unified = {f: pa.nulls(n, pa.string()) for f in UNIFIED_FIELDS}
+
+    for fmt, ext, fields in extracts:
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        hit = pc.and_not(pc.is_valid(ext), claimed)
+        fmt_col = pc.if_else(hit, fmt, fmt_col)
+        for f in fields:
+            unified[f] = pc.if_else(hit, ext.field(f), unified[f])
+        claimed = pc.or_(claimed, hit)
+
+    out = batch
+    out = out.append_column("fmt", fmt_col)
+    out = out.append_column("ip", unified["ip"])
+    out = out.append_column("method", unified["method"])
+    out = out.append_column("path", unified["path"])
+    out = out.append_column(
+        "http_status", pc.cast(unified["status"], pa.int32())
+    )
+    out = out.append_column("bytes", pc.cast(unified["bytes"], pa.int64()))
+    out = out.append_column("referrer", unified["referrer"])
+    out = out.append_column("user_agent", unified["agent"])
+    return out

@@ -1,0 +1,75 @@
+"""Pure-kernel tests for the parse cascade and outcome classifier
+(SURVEY.md M13, F5) — no Ray needed; zero-copy Arrow in/out."""
+
+import pyarrow as pa
+
+from matomo_log_analytics_ray import schemas
+from matomo_log_analytics_ray.stages import classify, parse
+
+NCSA_OK = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /article/view/1 HTTP/1.1" 200 5120 "-" "Mozilla/5.0 (X11) Firefox"'
+NCSA_BOT = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /a HTTP/1.1" 200 10 "-" "Googlebot/2.1 (+http://www.google.com/bot.html)"'
+NCSA_404 = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /missing HTTP/1.1" 404 10 "-" "Mozilla/5.0"'
+NCSA_301 = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /old HTTP/1.1" 301 10 "-" "Mozilla/5.0"'
+NCSA_CSS = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /static/app.css HTTP/1.1" 200 10 "-" "Mozilla/5.0"'
+NCSA_ADM = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /admin/login HTTP/1.1" 200 10 "-" "Mozilla/5.0"'
+NGINX_OK = '{"remote_addr":"2.3.4.5","time":"2024-01-12T10:00:00Z","method":"POST","path":"/api/v1/export","status":200,"bytes":77,"referer":"-","ua":"curl/8.4.0"}'
+W3C_OK = "2024-01-12 10:00:00 3.4.5.6 GET /journal/x 200 999 Mozilla/5.0+(Mac)"
+PROSE = "please summarize the access pattern for this conversation"
+TRUNC = NCSA_OK[:25]
+
+
+def _mk(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:08d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.large_string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        },
+        schema=schemas.TRANSCRIPTS,
+    )
+
+
+def test_parse_cascade_and_fields():
+    t = parse.parse_batch(_mk([NCSA_OK, NGINX_OK, W3C_OK, PROSE, TRUNC]))
+    assert t["fmt"].to_pylist() == [
+        "ncsa_extended",
+        "nginx_json",
+        "w3c_extended",
+        None,
+        None,
+    ]
+    assert t["ip"].to_pylist()[:3] == ["1.2.3.4", "2.3.4.5", "3.4.5.6"]
+    assert t["method"].to_pylist()[:3] == ["GET", "POST", "GET"]
+    assert t["path"].to_pylist()[:3] == ["/article/view/1", "/api/v1/export", "/journal/x"]
+    assert t["http_status"].to_pylist() == [200, 200, 200, None, None]
+    assert t["bytes"].to_pylist()[:3] == [5120, 77, 999]
+    assert t["referrer"].to_pylist()[2] is None  # w3c has no referrer field
+    assert t["user_agent"].to_pylist()[2] == "Mozilla/5.0+(Mac)"
+
+
+def test_outcome_precedence():
+    texts = [NCSA_OK, PROSE, NCSA_ADM, NCSA_CSS, NCSA_BOT, NCSA_301, NCSA_404, NGINX_OK]
+    t = classify.classify_batch(parse.parse_batch(_mk(texts)))
+    assert t["outcome"].to_pylist() == [
+        "imported",
+        "invalid",
+        "filtered",   # /admin beats status/bot checks
+        "static",
+        "bot",
+        "http_redirect",
+        "http_error",
+        "bot",        # curl UA counts as bot even with status 200
+    ]
+    for o in t["outcome"].to_pylist():
+        assert o in schemas.OUTCOMES
+
+
+def test_every_row_gets_exactly_one_outcome():
+    texts = [NCSA_OK, PROSE, TRUNC, W3C_OK, NGINX_OK] * 10
+    t = classify.classify_batch(parse.parse_batch(_mk(texts)))
+    assert t["outcome"].null_count == 0
+    assert len(t) == len(texts)
