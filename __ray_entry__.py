@@ -252,12 +252,166 @@ def _q_q1_lineitem_agg(sf_dir: str):
     )
 
 
+def _q_routing_server_extract(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import routing
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["server_scl"] = routing.extract_server(batch["path"], "scl")
+        batch["server_nbr"] = routing.extract_server(batch["path"], "nbr")
+        return batch
+
+    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def _q_scl_discovery(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import discovery
+
+    listing = ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        lambda b: b[b["collection"] == "scl"][["path"]], batch_format="pandas"
+    )
+    manifest = discovery.build_manifest(listing, "scl", concurrency=2)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["path", "server", "date", "status"]].copy()
+        out = out.rename(columns={"date": "log_date"})
+        out["status"] = out["status"].astype("int32")
+        return out
+
+    return manifest.map_batches(project, batch_format="pandas")
+
+
+def _q_dedup_exact_docs(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.exact_dedup_keep_ids(ds)
+
+
+def _q_dedup_group_sizes(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.exact_dup_groups(ds).select_columns(["n_dups"])
+
+
+def _q_dedup_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_candidates(ds)
+
+
+def _q_dedup_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.simhash_candidates(ds)
+
+
+def _q_text_token_counts(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.token_count_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_words", "n_tokens"]
+    )
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.quality_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_chars", "n_words", "punct_ratio"]
+    )
+
+
+def _q_text_langid(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.langid_batch, batch_format="pandas").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def _q_text_fingerprint(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        out = textstats.fingerprint_batch(b)[["doc_id", "fingerprint"]].copy()
+        out["fingerprint"] = out["fingerprint"].astype("uint64")
+        return out
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def _q_similarity_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    qids = head["vec_id"].to_numpy()
+    qvecs = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = similarity.brute_force_topk(ds, qids, qvecs, k=5)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out
+
+
+def _q_media_payload_stats(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.ops import multimodal
+
+    ds = ray.data.read_parquet(datagen.media_path())
+    return multimodal.extract_features(ds, batch_size=64, concurrency=2).select_columns(
+        ["media_id", "media_type", "payload_bytes"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
 
     datagen.transcripts_path("sf0.01")
     datagen.log_paths_path()
+    datagen.media_path()
 
     return {
         "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
@@ -271,6 +425,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a7_event_type_counts": _q_a7_event_type_counts,
         "j2_orders_semi_join": _q_j2_orders_semi_join,
         "q1_lineitem_agg": _q_q1_lineitem_agg,
+        "routing_server_extract": _q_routing_server_extract,
+        "scl_discovery": _q_scl_discovery,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_group_sizes": _q_dedup_group_sizes,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "similarity_topk": _q_similarity_topk,
+        "media_payload_stats": _q_media_payload_stats,
     }
 
 
@@ -279,9 +445,48 @@ def oracle_sql() -> dict[str, str]:
 
     tpath = datagen.transcripts_path("sf0.01")
     lpath = datagen.log_paths_path()
+    mpath = datagen.media_path()
     src = oracle.transcripts_source(tpath)
 
+    from matomo_log_analytics_ray.ops import textstats
+
     return {
+        "routing_server_extract": oracle.server_extract_sql(lpath),
+        "scl_discovery": oracle.scl_discovery_sql(lpath),
+        "dedup_exact_docs": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "dedup_group_sizes": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents "
+            "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            f"CAST(len(regexp_extract_all(text, '{textstats.RE_TOKEN}')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            "ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) "
+            "      / GREATEST(LENGTH(text), 1), 6) AS punct_ratio "
+            "FROM documents"
+        ),
+        "similarity_topk": (
+            "SELECT query_id, vec_id, ROUND(score, 4) AS score FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "         list_cosine_similarity(e.embedding, q.embedding) AS score, "
+            "         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "           list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rn "
+            "  FROM embeddings e CROSS JOIN "
+            "       (SELECT * FROM embeddings ORDER BY vec_id LIMIT 2) q"
+            ") WHERE rn <= 5"
+        ),
+        "media_payload_stats": (
+            "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "
+            f"AS payload_bytes FROM read_parquet('{mpath}')"
+        ),
         "flagship_sink_outcome_counts": oracle.sink_outcome_counts_sql(src),
         "flagship_global_counters": oracle.global_counters_sql(src),
         "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),

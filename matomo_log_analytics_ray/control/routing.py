@@ -44,16 +44,8 @@ def _rule_scl(paths: pd.Series, names: pd.Series) -> pd.Series:
 
 def _rule_nbr(paths: pd.Series, names: pd.Series) -> pd.Series:
     """Brasil new site (/root/reference/libs/lib_file_name.py:73-85)."""
-    table = [
-        ("scielo.nbr.2.", "scl2"),
-        ("scielo.nbr.4.", "scl4"),
-        ("newbrvarnish02", "new-br3"),
-        ("newbrvarnish03", "new-br4"),
-        ("newbrvarnish05", "new-br5"),
-        ("newbrvarnish06", "new-br6"),
-    ]
-    conds = [_contains(paths, pat) for pat, _ in table]
-    out = [srv for _, srv in table]
+    conds = [_contains(paths, pat) for pat, _ in rules.NBR_PATTERNS]
+    out = [srv for _, srv in rules.NBR_PATTERNS]
     return pd.Series(
         np.select(conds, out, default=rules.UNDEFINED), index=paths.index, dtype=object
     )

@@ -47,6 +47,17 @@ DIR_PATTERN_TO_SERVER = {
 # Sentinel for "no routing key could be derived".
 UNDEFINED = ""
 
+# Brasil-new-site substring -> server cascade (first match wins).
+# Reference: /root/reference/libs/lib_file_name.py:73-85.
+NBR_PATTERNS = [
+    ("scielo.nbr.2.", "scl2"),
+    ("scielo.nbr.4.", "scl4"),
+    ("newbrvarnish02", "new-br3"),
+    ("newbrvarnish03", "new-br4"),
+    ("newbrvarnish05", "new-br5"),
+    ("newbrvarnish06", "new-br6"),
+]
+
 # ---------------------------------------------------------------------------
 # Venezuela filename regexes (reference: /root/reference/libs/values.py:43-45).
 # RE2-compatible so the same strings run under pyarrow.compute and DuckDB.

@@ -256,6 +256,19 @@ def log_paths_path(seed: int = 42) -> str:
     return path
 
 
+def media_path(n: int = 512, seed: int = 42) -> str:
+    """Deterministic fake-media parquet (ops/multimodal fixture)."""
+    from .ops import multimodal
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"media_{n}_seed{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(multimodal.generate_fake_media(n, seed=seed), tmp, row_group_size=128)
+        os.replace(tmp, path)
+    return path
+
+
 def sf_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our sf key."""
     base = os.path.basename(os.path.normpath(sf_dir))

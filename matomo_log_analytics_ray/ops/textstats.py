@@ -1,0 +1,105 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure vectorized pandas/numpy kernels designed for map_batches; the
+SQL-expressible pieces (token/char counts, ratios) carry DuckDB oracles
+in __ray_entry__, the heuristic pieces (langid) are pytest-verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import hashing
+
+# Small per-language stopword sets for an n-gram/stopword heuristic
+# language ID (public-knowledge lists, truncated).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "las", "por"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para"},
+}
+
+# whitespace tokens plus a BPE-ish fallback: runs of letters, runs of
+# digits, or single non-space symbols (RE2-safe, shared with tests)
+RE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace word count + BPE-ish subtoken count per doc."""
+    t = batch[text_col].fillna("")
+    out = batch.copy()
+    out["n_words"] = t.str.split().str.len().fillna(0).astype("int64")
+    out["n_tokens"] = t.str.count(RE_TOKEN).astype("int64")
+    return out
+
+
+def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Length / punctuation / stopword-ratio quality signals and a
+    composite [0,1] score (long-enough, low-punct, high-stopword text
+    scores high — the classic prose-vs-noise heuristic)."""
+    t = batch[text_col].fillna("")
+    n_chars = t.str.len().astype("int64")
+    n_words = t.str.split().str.len().fillna(0).astype("int64")
+    n_punct = t.str.count(r"[^\w\s]").astype("int64")
+    words = t.str.lower().str.findall(r"[a-z]+")
+    all_stop = STOPWORDS["en"] | STOPWORDS["es"] | STOPWORDS["pt"]
+    n_stop = words.map(lambda ws: sum(w in all_stop for w in ws)).astype("int64")
+
+    out = batch.copy()
+    out["n_chars"] = n_chars
+    out["n_words"] = n_words
+    out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
+    out["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
+    out["mean_word_len"] = (
+        (n_chars - n_words + 1).clip(lower=0) / n_words.clip(lower=1)
+    ).round(6)
+    len_score = (n_words.clip(upper=100) / 100).astype(float)
+    punct_score = (1 - out["punct_ratio"].clip(upper=0.5) * 2).astype(float)
+    stop_score = out["stopword_ratio"].clip(upper=0.5) * 2
+    out["quality_score"] = ((len_score + punct_score + stop_score) / 3).round(6)
+    return out
+
+
+def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stopword-vote language ID over {en, es, pt}; 'und' when no
+    stopword of any language appears."""
+    words = batch[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+    langs = list(STOPWORDS)
+    votes = np.zeros((len(batch), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        sw = STOPWORDS[lang]
+        votes[:, j] = words.map(lambda ws: sum(w in sw for w in ws)).to_numpy()
+    best = votes.argmax(axis=1)
+    out = batch.copy()
+    out["lang_pred"] = np.where(
+        votes.max(axis=1) > 0, np.asarray(langs, dtype=object)[best], "und"
+    )
+    out["lang_votes"] = votes.max(axis=1)
+    return out
+
+
+def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Rolling-hash document fingerprint over normalized words: an
+    order-sensitive uint64 (same word sequence => same fingerprint,
+    whitespace/case-insensitive)."""
+    wh, off = hashing.tokenize_words(batch[text_col])
+    n = len(batch)
+    fp = np.zeros(n, dtype=np.uint64)
+    if len(wh):
+        # prefix-combine per doc: fold word hashes left-to-right
+        doc_of = np.repeat(np.arange(n), np.diff(off))
+        acc = np.zeros(n, dtype=np.uint64)
+        # loop over max doc length, vectorized across docs (bounded by
+        # longest doc, not total words)
+        counts = np.diff(off)
+        max_len = int(counts.max()) if len(counts) else 0
+        for i in range(max_len):
+            sel = counts > i
+            idx = off[:-1][sel] + i
+            acc[sel] = hashing.combine(acc[sel], wh[idx])
+        fp = acc
+    out = batch.copy()
+    out["fingerprint"] = fp
+    return out

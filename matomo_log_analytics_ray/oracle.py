@@ -145,6 +145,63 @@ FROM enriched GROUP BY 1"""
     )
 
 
+def _date_expr() -> str:
+    from .control import rules
+
+    return (
+        "COALESCE("
+        f"strftime(try_strptime(NULLIF(regexp_extract(path, '{rules.RE_DATE_HYPHEN}', 0), ''), '%Y-%m-%d'), '%Y-%m-%d'), "
+        f"strftime(try_strptime(NULLIF(regexp_extract(path, '{rules.RE_DATE_COMPACT}', 0), ''), '%Y%m%d'), '%Y-%m-%d'), "
+        "'')"
+    )
+
+
+def server_extract_sql(log_paths_parquet: str) -> str:
+    """Routing-key extraction for the scl and nbr rule sets (M1/M2/M6)
+    as CASE cascades generated from the same rule tables."""
+    from .control import rules
+
+    nbr_branches = " ".join(
+        f"WHEN path LIKE '%{pat}%' THEN '{srv}'" for pat, srv in rules.NBR_PATTERNS
+    )
+    return f"""
+SELECT collection, path,
+    CASE WHEN path LIKE '%node03%' THEN 'node03'
+         WHEN path LIKE '%hiperion%' AND path LIKE '%apache%' THEN 'hiperion-apache'
+         WHEN path LIKE '%hiperion%' AND path LIKE '%varnish%' THEN 'hiperion-varnish'
+         ELSE '' END AS server_scl,
+    CASE {nbr_branches} ELSE '' END AS server_nbr
+FROM read_parquet('{log_paths_parquet}')"""
+
+
+def scl_discovery_sql(log_paths_parquet: str) -> str:
+    """Full discovery derivation for collection='scl' rows: server, date
+    and the presence/validity status routing (F1/F2 semantics:
+    REJECTED=-99 when underivable, INVALID=-9 on the anonymous-IP rules
+    after 2020-04-29, else QUEUE=0). ISO date strings compare correctly
+    as strings."""
+    from .control import rules
+
+    return f"""
+WITH d AS (
+    SELECT path,
+        CASE WHEN path LIKE '%node03%' THEN 'node03'
+             WHEN path LIKE '%hiperion%' AND path LIKE '%apache%' THEN 'hiperion-apache'
+             WHEN path LIKE '%hiperion%' AND path LIKE '%varnish%' THEN 'hiperion-varnish'
+             ELSE '' END AS server,
+        {_date_expr()} AS log_date
+    FROM read_parquet('{log_paths_parquet}')
+    WHERE collection = 'scl'
+)
+SELECT path, server, log_date,
+    CASE WHEN server = '' OR log_date = '' THEN -99
+         WHEN (path LIKE '%varnishncsa%' AND log_date > '{rules.SCL_ANON_IP_CUTOFF}')
+           OR (server = 'hiperion-apache' AND log_date > '{rules.SCL_ANON_IP_CUTOFF}')
+         THEN -9
+         ELSE 0 END AS status
+FROM d"""
+
+
 def date_extract_sql(log_paths_parquet: str) -> str:
     """M8 date extraction: first-match-per-format + strict calendar
     validation, hyphenated format first (control/dates.py semantics)."""

@@ -1,0 +1,94 @@
+"""Dedup families: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from matomo_log_analytics_ray.ops import dedup
+
+
+def _docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall garden wall near the old oak tree"
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # near-dup of base
+    other = (
+        "completely different content about distributed query engines "
+        "processing parquet tables with vectorized batch kernels"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},          # exact dup of 1
+        {"doc_id": 3, "text": near},          # near dup of 1
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": other},         # exact dup of 4
+        {"doc_id": 6, "text": "tiny"},
+        {"doc_id": 7, "text": ""},
+    ]
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = ray.data.from_pandas(_docs())
+    kept = sorted(dedup.exact_dedup_keep_ids(ds).to_pandas()["doc_id"].tolist())
+    assert kept == [1, 3, 4, 6, 7]
+
+    groups = dedup.exact_dup_groups(ds).to_pandas()
+    assert sorted(groups["n_dups"].tolist()) == [2, 2]
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct():
+    df = _docs()
+    ds = ray.data.from_pandas(df)
+    cand = dedup.minhash_lsh_candidates(ds).to_pandas()
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # distinct not paired
+
+    sigs = dedup.minhash_signature_batch(df)
+    est = dedup.estimate_jaccard_pairs(cand, sigs)
+    exact_pair = est[(est["id_a"] == 1) & (est["id_b"] == 2)]
+    assert float(exact_pair["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_signature_deterministic_and_shingle_sensitive():
+    df = _docs()
+    s1 = dedup.minhash_signature_batch(df)
+    s2 = dedup.minhash_signature_batch(df.copy())
+    for a, b in zip(s1["signature"], s2["signature"]):
+        assert np.array_equal(a, b)
+    # identical texts -> identical signatures
+    assert np.array_equal(s1["signature"].iloc[0], s1["signature"].iloc[1])
+    # different texts -> different signatures
+    assert not np.array_equal(s1["signature"].iloc[0], s1["signature"].iloc[3])
+
+
+def test_simhash_near_dup_distance():
+    df = _docs()
+    fp = dedup.simhash_batch(df)
+    h = fp["simhash"].to_numpy(dtype=np.uint64)
+    d_exact = dedup.hamming_distance(h[:1], h[1:2])[0]
+    d_near = dedup.hamming_distance(h[:1], h[2:3])[0]
+    d_far = dedup.hamming_distance(h[:1], h[3:4])[0]
+    assert d_exact == 0
+    assert d_near < d_far
+
+    ds = ray.data.from_pandas(df)
+    cand = dedup.simhash_candidates(ds).to_pandas()
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_verify():
+    df = _docs()
+    pairs = pd.DataFrame({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+    out = dedup.ngram_jaccard_verify(pairs, df, threshold=0.5)
+    j12 = float(out.loc[0, "jaccard"])
+    j13 = float(out.loc[1, "jaccard"])
+    j14 = float(out.loc[2, "jaccard"])
+    assert j12 == 1.0
+    assert 0.5 < j13 < 1.0
+    assert j14 < 0.1
+    assert out["is_dup"].tolist() == [True, True, False]

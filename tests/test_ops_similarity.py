@@ -1,0 +1,70 @@
+"""Similarity search: brute-force cosine top-k vs a numpy oracle, LSH
+variant recall, embedding near-dup pairs."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from matomo_log_analytics_ray.ops import similarity
+
+
+def _corpus(n=200, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+    return df, vecs
+
+
+def _oracle_topk(vecs, qvecs, k):
+    def norm(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    scores = norm(vecs) @ norm(qvecs).T  # (n, nq)
+    return [np.argsort(-scores[:, j])[:k] for j in range(qvecs.shape[0])]
+
+
+def test_brute_force_topk_matches_numpy_oracle():
+    df, vecs = _corpus()
+    qvecs = vecs[[3, 50]] + 0.01  # near rows 3 and 50
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = similarity.brute_force_topk(ds, np.array([0, 1]), qvecs, k=5)
+    want = _oracle_topk(vecs, qvecs, 5)
+    for qid in (0, 1):
+        ids = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert ids == list(want[qid])
+    # scores sorted descending within query
+    for qid in (0, 1):
+        s = got[got["query_id"] == qid].sort_values("rank")["score"].to_numpy()
+        assert (np.diff(s) <= 1e-6).all()
+
+
+def test_lsh_topk_returns_self_match():
+    df, vecs = _corpus()
+    ds = ray.data.from_pandas(df)
+    got = similarity.lsh_topk(ds, np.array([0]), vecs[[42]], k=3)
+    # the query IS corpus row 42 — its own bucket must contain it, rank 0
+    assert got[got["rank"] == 0]["vec_id"].iloc[0] == 42
+
+
+def test_embedding_near_dup_pairs():
+    df, vecs = _corpus(n=50)
+    # inject two near-identical rows
+    emb = list(df["embedding"])
+    emb[1] = vecs[0] + 1e-4
+    df["embedding"] = emb
+    ds = ray.data.from_pandas(df)
+    pairs = similarity.embedding_near_dup(ds, threshold=0.999)
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 1)).any()
+    # no self-pairs, ordered ids
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_on_driver_embeddings_table(tmp_path):
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ds.to_pandas()
+    q = np.stack(df["embedding"].to_numpy()[:2])
+    got = similarity.brute_force_topk(ds, np.array([0, 1]), q, k=3)
+    # self-match at rank 0 with score ~1
+    r0 = got[(got["query_id"] == 0) & (got["rank"] == 0)]
+    assert r0["vec_id"].iloc[0] == df["vec_id"].iloc[0]
+    assert abs(r0["score"].iloc[0] - 1.0) < 1e-5

@@ -1,0 +1,78 @@
+"""Text analysis + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from matomo_log_analytics_ray.ops import multimodal, textstats
+
+
+def test_token_counts():
+    df = pd.DataFrame({"text": ["hello world", "a,b c3 d-4", "", None]})
+    out = textstats.token_count_batch(df)
+    assert out["n_words"].tolist() == [2, 3, 0, 0]
+    # BPE-ish: 'a' ',' 'b' 'c' '3' 'd' '-' '4' = 8
+    assert out["n_tokens"].tolist() == [2, 8, 0, 0]
+
+
+def test_quality_score_orders_prose_above_noise():
+    prose = "the cat sat on the mat and the dog was in the garden with the children"
+    noise = "@@@ ### !!! $$$ %%% ^^^ &&&"
+    out = textstats.quality_batch(pd.DataFrame({"text": [prose, noise]}))
+    assert out["quality_score"].iloc[0] > out["quality_score"].iloc[1]
+    assert out["punct_ratio"].iloc[1] > 0.5
+    assert out["stopword_ratio"].iloc[0] > 0.3
+
+
+def test_langid_heuristic():
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the house is near the river and the trees",
+                "el perro y el gato en la casa de los abuelos",
+                "o menino e a menina do bairro em um parque",
+                "zzzz qqqq xxxx",
+            ]
+        }
+    )
+    out = textstats.langid_batch(df)
+    assert out["lang_pred"].tolist() == ["en", "es", "pt", "und"]
+
+
+def test_fingerprint_order_sensitive_case_insensitive():
+    df = pd.DataFrame(
+        {
+            "text": [
+                "alpha beta gamma",
+                "Alpha   BETA gamma",  # same words modulo case/space
+                "gamma beta alpha",    # same words, different order
+            ]
+        }
+    )
+    out = textstats.fingerprint_batch(df)
+    fp = out["fingerprint"].tolist()
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_media_feature_extraction_pipeline():
+    tbl = multimodal.generate_fake_media(64)
+    ds = ray.data.from_arrow(tbl)
+    out = multimodal.extract_features(ds, batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 64
+    feats = np.stack(out["features"].to_numpy())
+    assert feats.shape == (64, multimodal.FEATURE_DIM)
+    # features are normalized histograms
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    assert (out["payload_bytes"] > 0).all()
+    # deterministic across runs
+    out2 = multimodal.extract_features(ds, batch_size=16, concurrency=2).to_pandas()
+    assert np.allclose(feats, np.stack(out2.sort_values("media_id")["features"].to_numpy()))
+
+
+def test_media_strict_mode_raises():
+    tbl = multimodal.generate_fake_media(4)
+    ex = multimodal.MediaFeatureExtractor(strict=True)
+    with pytest.raises(NotImplementedError):
+        ex(tbl.to_pandas())
