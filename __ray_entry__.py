@@ -47,7 +47,7 @@ def _q_flagship_sink_outcome_counts(sf_dir: str):
     from matomo_log_analytics_ray.stages import aggregate
 
     ds = flagship.build_pipeline(_transcripts(sf_dir))
-    return aggregate.sink_outcome_counts(ds).to_pandas()
+    return aggregate.sink_outcome_counts(ds)
 
 
 def _q_flagship_global_counters(sf_dir: str):
@@ -56,7 +56,7 @@ def _q_flagship_global_counters(sf_dir: str):
     import pandas as pd
 
     ds = flagship.build_pipeline(_transcripts(sf_dir))
-    counters = aggregate.global_counters(aggregate.sink_outcome_counts(ds).to_pandas())
+    counters = aggregate.global_counters(aggregate.sink_outcome_counts(ds))
     counters.pop("sum_imported_ignored_lines")  # not in the oracle projection
     return pd.DataFrame([counters])
 

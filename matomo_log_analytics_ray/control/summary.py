@@ -116,6 +116,36 @@ def parse_summary_text(raw_text: str, expected_lines: int) -> dict:
     return out
 
 
+def read_and_parse_summaries(
+    summary_paths: list[str], expected_lines: dict[str, int]
+) -> "pd.DataFrame":
+    """S3 source analog: read whole summary files (ray.data.read_text
+    is line-oriented; summaries are documents, so read_binary_files
+    with paths keeps one row per file), normalize, parse. Returns one
+    metrics row per file keyed by basename."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(summary_paths, include_paths=True)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path, raw in zip(batch["path"], batch["bytes"]):
+            name = os.path.basename(path)
+            rows.append(
+                {
+                    "summary_id": name,
+                    **parse_summary_text(
+                        raw.decode("utf-8", "replace"), int(expected_lines.get(name, 0))
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas()
+
+
 def parse_summaries_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """map_batches body: expects columns (summary_id, text,
     expected_lines); returns one metrics row per summary."""

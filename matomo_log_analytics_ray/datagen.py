@@ -73,7 +73,9 @@ PROSE_WORDS = np.array(
 )
 
 
-def generate_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
+def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> pa.Table:
+    """``conv_start`` offsets conversation numbering so independently
+    generated shards have disjoint conv_id ranges."""
     rng = np.random.default_rng(seed)
 
     # Zipf-skewed conversation sizes, clipped to [1, 64] (FIXTURES.md F1).
@@ -89,7 +91,7 @@ def generate_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     sizes = sizes[:n_convs]
     sizes[-1] -= int(cum[n_convs - 1] - n_turns) if cum[n_convs - 1] > n_turns else 0
 
-    conv_nums = np.repeat(np.arange(n_convs), sizes)
+    conv_nums = np.repeat(np.arange(n_convs) + conv_start, sizes)
     # vectorized conv-%08d (zfill via C string kernels, no Python loop)
     conv_id = (
         "conv-" + pd.Series(conv_nums.astype(str)).str.zfill(8)
@@ -254,6 +256,46 @@ def log_paths_path(seed: int = 42) -> str:
         pq.write_table(generate_log_paths(seed), tmp, row_group_size=512)
         os.replace(tmp, path)
     return path
+
+
+def transcripts_shards_dir(
+    n_turns: int, seed: int = 42, n_shards: int = 32
+) -> str:
+    """Sharded transcripts directory (one parquet file per shard) — the
+    realistic many-file layout. A single big file is read by ONE Ray
+    read task (measured: a 1.4 GB file serialized the whole pipeline
+    behind a 12 s serial read); sharding gives read parallelism =
+    n_shards."""
+    import ray
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    d = os.path.join(CACHE_DIR, f"transcripts_v2_{n_turns}x{n_shards}_seed{seed}")
+    if not os.path.isdir(d):
+        tmpd = d + ".tmp"
+        os.makedirs(tmpd, exist_ok=True)
+        per = (n_turns + n_shards - 1) // n_shards
+
+        def write_shard(i: int) -> None:
+            part = generate_transcripts(
+                min(per, n_turns - i * per),
+                seed=seed * 100_003 + i,
+                conv_start=i * 100_000_000,
+            )
+            pq.write_table(
+                part,
+                os.path.join(tmpd, f"part-{i:05d}.parquet"),
+                row_group_size=max(16384, per // 4),
+            )
+
+        idx = [i for i in range(n_shards) if min(per, n_turns - i * per) > 0]
+        if ray.is_initialized():
+            shard_task = ray.remote(num_cpus=1)(write_shard)
+            ray.get([shard_task.remote(i) for i in idx])
+        else:
+            for i in idx:
+                write_shard(i)
+        os.replace(tmpd, d)
+    return d
 
 
 def media_path(n: int = 512, seed: int = 42) -> str:

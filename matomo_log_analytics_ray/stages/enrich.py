@@ -20,9 +20,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
-NUM_SITE_SHARDS = 4
+NUM_SITE_SHARDS = 4  # must stay a power of two (shard = digits & (N-1))
 
 DEFAULT_TOOL_SINKS = {
     "search": "tool-search",
@@ -51,11 +52,48 @@ def resolve_sinks(
     return pd.Series(out, index=conv_id.index, dtype=object)
 
 
-class SinkResolver:
-    """map_batches callable class -> actor pool.
+def resolve_sinks_arrow(batch: pa.Table, tool_sinks: dict) -> pa.Table:
+    """Zero-copy Arrow sink resolution: dictionary lookup via index_in +
+    take, numeric shard via extract_regex + bitwise-and (power-of-two
+    shard count), no pandas conversion in the hot path."""
+    keys = pa.array(list(tool_sinks.keys()), pa.string())
+    vals = pa.array(list(tool_sinks.values()), pa.string())
+    idx = pc.index_in(batch["tool"], value_set=keys)
+    mapped = pc.take(vals, idx)  # null where tool unknown/empty
 
-    ``tool_sinks_ref`` may be a plain dict (tests) or an object-store
-    ref (ray.put once on the driver; each actor fetches once).
+    digits = pc.extract_regex(batch["conv_id"], r"(?P<d>[0-9]+)")
+    dnum = pc.cast(pc.struct_field(digits, "d"), pa.int64())
+    dnum = pc.coalesce(dnum, pa.scalar(0, pa.int64()))
+    shard_num = pc.bit_wise_and(dnum, NUM_SITE_SHARDS - 1)
+    shard = pc.binary_join_element_wise(
+        pa.scalar("site-"), pc.cast(shard_num, pa.string()), ""
+    )
+
+    sink = pc.coalesce(
+        mapped, pc.if_else(pc.equal(batch["role"], "system"), "system", shard)
+    )
+    return batch.append_column("sink", pc.cast(sink, pa.string()))
+
+
+def make_sink_resolver(tool_sinks: dict | None = None):
+    """Stateless map_batches fn with the (tiny) lookup table captured in
+    the closure — broadcast once with the task definition, fused with
+    the adjacent parse/classify task stages (no actor-pool spin-up).
+    Use the SinkResolver actor class instead when the lookup state is
+    large or expensive to build."""
+    sinks = dict(tool_sinks or DEFAULT_TOOL_SINKS)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        return resolve_sinks_arrow(batch, sinks)
+
+    return resolve
+
+
+class SinkResolver:
+    """map_batches callable class -> actor pool, for when the resolver
+    state is heavy (e.g. a large host->site index fetched from the
+    object store once per actor). ``tool_sinks_ref`` may be a plain
+    dict (tests) or a ray.put ref.
     """
 
     def __init__(self, tool_sinks_ref=None):
@@ -67,6 +105,4 @@ class SinkResolver:
             self.tool_sinks = dict(tool_sinks_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.select(["conv_id", "role", "tool"]).to_pandas()
-        sink = resolve_sinks(df["conv_id"], df["role"], df["tool"], self.tool_sinks)
-        return batch.append_column("sink", pa.array(sink.to_numpy(object), pa.string()))
+        return resolve_sinks_arrow(batch, self.tool_sinks)
