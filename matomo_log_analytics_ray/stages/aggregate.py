@@ -42,21 +42,26 @@ def combine_partial_counts(t: pa.Table) -> pa.Table:
     return g.rename_columns(["sink", "outcome", "total_bytes", "n"])
 
 
-def sink_outcome_counts(enriched: "ray.data.Dataset", fanin: int = 16) -> pd.DataFrame:
+def sink_outcome_counts(
+    enriched: "ray.data.Dataset", fanin: int | None = None
+) -> pd.DataFrame:
     """(sink, outcome) -> n, total_bytes as a small DataFrame.
 
     Tree reduce instead of a Ray groupby shuffle: per-batch partials
-    (<= |sinks| x |outcomes| rows each) -> repartition(fanin) ->
-    per-block Arrow combine -> driver-side final merge. Measured: Ray's
-    sort-based groupby spent ~8 s shuffling 16k partial rows across 256
-    blocks; the tree reduce is O(fanin) tiny blocks and no shuffle. At
-    1M-block scale the fanin level keeps the driver merge bounded.
+    (<= |sinks| x |outcomes| rows each) stream to the driver and merge
+    in one pandas groupby. Measured: Ray's sort-based groupby spent
+    ~8 s shuffling 16k partial rows across 256 blocks; streaming the
+    partials costs ~10 ms. ``fanin`` inserts an intermediate
+    repartition+combine level for extreme block counts (≳100k blocks,
+    where driver-side partials would be GBs); it is a barrier, so leave
+    it off below that scale.
     """
     partials = enriched.map_batches(partial_outcome_counts, batch_format="pyarrow")
-    combined = partials.repartition(fanin).map_batches(
-        combine_partial_counts, batch_format="pyarrow"
-    )
-    df = combined.to_pandas()
+    if fanin:
+        partials = partials.repartition(fanin).map_batches(
+            combine_partial_counts, batch_format="pyarrow"
+        )
+    df = partials.to_pandas()
     out = df.groupby(["sink", "outcome"], as_index=False, sort=True).agg(
         n=("n", "sum"), total_bytes=("total_bytes", "sum")
     )
