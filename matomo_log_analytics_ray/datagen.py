@@ -31,8 +31,12 @@ ROLE_W = np.array([0.3, 0.3, 0.1, 0.3])
 TOOLS = np.array(["search", "browser", "bash", "python", ""])
 TOOL_W = np.array([0.2, 0.15, 0.2, 0.15, 0.3])
 
-FAMILIES = np.array(["ncsa", "nginx_json", "w3c", "prose", "malformed"])
-FAMILY_W = np.array([0.35, 0.2, 0.15, 0.22, 0.08])
+FAMILIES = np.array(
+    ["ncsa", "nginx_json", "w3c", "common", "common_vhost", "prose", "malformed"]
+)
+FAMILY_W = np.array([0.25, 0.18, 0.12, 0.1, 0.08, 0.2, 0.07])
+
+VHOSTS = np.array(["scielo.br", "data.scielo.org", "preprints.scielo.org"])
 
 METHODS = np.array(["GET", "GET", "GET", "POST", "HEAD"])
 PATHS = np.array(
@@ -149,6 +153,13 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
         t_w3c_d + " " + t_w3c_t + " " + ip + " " + method.astype(object) + " "
         + path.astype(object) + " " + s + " " + b + " " + ua_plus
     )
+    common = (
+        ip + " - - [" + t_ncsa + '] "' + method.astype(object) + " "
+        + path.astype(object) + ' HTTP/1.1" ' + s + " " + b
+    )
+    vhost = rng.choice(VHOSTS, size=n_turns).astype(object)
+    common_vhost = vhost + " " + common
+
     prose_idx = rng.integers(0, len(PROSE_WORDS), size=(n_turns, 8))
     prose = PROSE_WORDS.astype(object)[prose_idx[:, 0]]
     for k in range(1, 8):
@@ -156,8 +167,15 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
     malformed = pd.Series(ncsa).str.slice(0, 25).to_numpy(object)
 
     text = np.select(
-        [fam == "ncsa", fam == "nginx_json", fam == "w3c", fam == "prose"],
-        [ncsa, nginx, w3c, prose],
+        [
+            fam == "ncsa",
+            fam == "nginx_json",
+            fam == "w3c",
+            fam == "common",
+            fam == "common_vhost",
+            fam == "prose",
+        ],
+        [ncsa, nginx, w3c, common, common_vhost, prose],
         default=malformed,
     )
 
@@ -186,7 +204,7 @@ def transcripts_path(sf: str = "sf0.01", seed: int = 42) -> str:
     the file into several blocks/partitions.
     """
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"transcripts_{sf}_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"transcripts_v3_{sf}_seed{seed}.parquet")
     if not os.path.exists(path):
         n = SF_TURNS.get(sf, 60_000)
         tbl = generate_transcripts(n, seed=seed)
@@ -269,7 +287,7 @@ def transcripts_shards_dir(
     import ray
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    d = os.path.join(CACHE_DIR, f"transcripts_v2_{n_turns}x{n_shards}_seed{seed}")
+    d = os.path.join(CACHE_DIR, f"transcripts_v3_{n_turns}x{n_shards}_seed{seed}")
     if not os.path.isdir(d):
         tmpd = d + ".tmp"
         os.makedirs(tmpd, exist_ok=True)

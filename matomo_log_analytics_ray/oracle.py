@@ -16,6 +16,8 @@ _GROUP_INDEX = {
     "ncsa_extended": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
     "nginx_json": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
     "w3c_extended": {"ip": 3, "method": 4, "path": 5, "status": 6, "bytes": 7, "agent": 8},
+    "common_vhost": {"vhost": 1, "ip": 2, "method": 4, "path": 5, "status": 6, "bytes": 7},
+    "common": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6},
 }
 _PATTERNS = {fmt: pattern for fmt, pattern, _ in parse.FORMATS}
 

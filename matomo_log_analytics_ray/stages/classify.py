@@ -34,7 +34,10 @@ def classify_batch(batch: pa.Table) -> pa.Table:
     n = len(batch)
     fmt = batch["fmt"]
     path = batch["path"]
-    agent = batch["user_agent"]
+    # agent may be null on formats without a UA field (common/common_vhost)
+    # even when fmt matched; arrow's and_ is non-Kleene, so a null agent
+    # would poison the whole nested if_else -> coalesce to ''.
+    agent = pc.coalesce(batch["user_agent"], pa.scalar("", pa.string()))
     status = batch["http_status"]
 
     false = pa.array([False] * n, pa.bool_())

@@ -40,15 +40,26 @@ RE_W3C = (
     r'(?P<method>[A-Z]+) (?P<path>\S+) (?P<status>\d{3}) (?P<bytes>\d+) '
     r'(?P<agent>\S+)$'
 )
+RE_COMMON_VHOST = (
+    r'^(?P<vhost>\S+) (?P<ip>\S+) \S+ \S+ \[(?P<when>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)[^"]*" (?P<status>\d{3}) (?P<bytes>\d+)$'
+)
+RE_COMMON = (
+    r'^(?P<ip>\S+) \S+ \S+ \[(?P<when>[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)[^"]*" (?P<status>\d{3}) (?P<bytes>\d+)$'
+)
 
-# (fmt name, pattern, fields present) — cascade order matters.
+# (fmt name, pattern, fields present) — cascade order matters
+# (first match wins; the formats are mutually exclusive by structure).
 FORMATS = [
     ("ncsa_extended", RE_NCSA, ("ip", "method", "path", "status", "bytes", "referrer", "agent")),
     ("nginx_json", RE_NGINX_JSON, ("ip", "method", "path", "status", "bytes", "referrer", "agent")),
     ("w3c_extended", RE_W3C, ("ip", "method", "path", "status", "bytes", "agent")),
+    ("common_vhost", RE_COMMON_VHOST, ("vhost", "ip", "method", "path", "status", "bytes")),
+    ("common", RE_COMMON, ("ip", "method", "path", "status", "bytes")),
 ]
 
-UNIFIED_FIELDS = ("ip", "method", "path", "status", "bytes", "referrer", "agent")
+UNIFIED_FIELDS = ("ip", "method", "path", "status", "bytes", "referrer", "agent", "vhost")
 
 
 def parse_batch(batch: pa.Table) -> pa.Table:
@@ -85,4 +96,5 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("bytes", pc.cast(unified["bytes"], pa.int64()))
     out = out.append_column("referrer", unified["referrer"])
     out = out.append_column("user_agent", unified["agent"])
+    out = out.append_column("vhost", unified["vhost"])
     return out

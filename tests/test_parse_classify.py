@@ -14,6 +14,8 @@ NCSA_CSS = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /static/app.css HTTP/1
 NCSA_ADM = '1.2.3.4 - - [12/Jan/2024:10:00:00 +0000] "GET /admin/login HTTP/1.1" 200 10 "-" "Mozilla/5.0"'
 NGINX_OK = '{"remote_addr":"2.3.4.5","time":"2024-01-12T10:00:00Z","method":"POST","path":"/api/v1/export","status":200,"bytes":77,"referer":"-","ua":"curl/8.4.0"}'
 W3C_OK = "2024-01-12 10:00:00 3.4.5.6 GET /journal/x 200 999 Mozilla/5.0+(Mac)"
+COMMON_OK = '7.7.7.7 - - [12/Jan/2024:10:00:00 +0000] "GET /journal/abc HTTP/1.1" 200 321'
+VHOST_OK = 'scielo.br 8.8.8.8 - - [12/Jan/2024:10:00:00 +0000] "GET /x HTTP/1.1" 500 5'
 PROSE = "please summarize the access pattern for this conversation"
 TRUNC = NCSA_OK[:25]
 
@@ -49,6 +51,17 @@ def test_parse_cascade_and_fields():
     assert t["bytes"].to_pylist()[:3] == [5120, 77, 999]
     assert t["referrer"].to_pylist()[2] is None  # w3c has no referrer field
     assert t["user_agent"].to_pylist()[2] == "Mozilla/5.0+(Mac)"
+
+
+def test_common_and_vhost_formats():
+    t = parse.parse_batch(_mk([COMMON_OK, VHOST_OK, NCSA_OK]))
+    assert t["fmt"].to_pylist() == ["common", "common_vhost", "ncsa_extended"]
+    assert t["ip"].to_pylist() == ["7.7.7.7", "8.8.8.8", "1.2.3.4"]
+    assert t["vhost"].to_pylist() == [None, "scielo.br", None]
+    assert t["user_agent"].to_pylist()[:2] == [None, None]
+    # null agent must not poison classification (non-Kleene and_)
+    c = classify.classify_batch(t)
+    assert c["outcome"].to_pylist() == ["imported", "http_error", "imported"]
 
 
 def test_outcome_precedence():
