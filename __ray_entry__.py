@@ -405,6 +405,88 @@ def _q_media_payload_stats(sf_dir: str):
     )
 
 
+def _q_join_orders_customer(sf_dir: str):
+    """Hash-partitioned large-large join via Dataset.join (both sides
+    shuffle on the key), then an order-value rollup per market segment.
+    For small dimension sides prefer the broadcast pattern
+    (j2_orders_semi_join); this exercises the true shuffle join."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    def round2(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_price"] = b["total_price"].round(2)
+        return b
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
+        )
+        .map_batches(round2, batch_format="pandas")
+    )
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Streaming-shaped sessionization: per-user event stream split at
+    >30-minute gaps; one row per session. groupby(user).map_groups over
+    ts-sorted groups (the guide's window recipe); partitioning
+    assumption: one user's events fit one group."""
+    import pandas as pd
+    import ray.data
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().mul(1_000_000).fillna(0)
+        sid = (gap > GAP_US).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["session_idx"] = range(len(out))
+        return out.reset_index(drop=True)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def _q_conv_turn_counts(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import groupagg
+
+    ds = ray.data.read_parquet(_transcripts(sf_dir), columns=["conv_id"])
+    return groupagg.per_key_counts_salted(ds, "conv_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -437,6 +519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_text_fingerprint,
         "similarity_topk": _q_similarity_topk,
         "media_payload_stats": _q_media_payload_stats,
+        "join_orders_customer": _q_join_orders_customer,
+        "sessionize_events": _q_sessionize_events,
+        "conv_turn_counts": _q_conv_turn_counts,
     }
 
 
@@ -486,6 +571,30 @@ def oracle_sql() -> dict[str, str]:
         "media_payload_stats": (
             "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "
             f"AS payload_bytes FROM read_parquet('{mpath}')"
+        ),
+        "join_orders_customer": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "sessionize_events": (
+            "WITH g AS ("
+            "  SELECT user_id, ts, "
+            "    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT user_id, ts, "
+            "    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_idx "
+            "  FROM g"
+            ") "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, session_idx"
+        ),
+        "conv_turn_counts": (
+            f"SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM read_parquet('{tpath}') GROUP BY conv_id"
         ),
         "flagship_sink_outcome_counts": oracle.sink_outcome_counts_sql(src),
         "flagship_global_counters": oracle.global_counters_sql(src),
