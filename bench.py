@@ -157,7 +157,9 @@ def main() -> None:
     from matomo_log_analytics_ray import datagen
 
     sf = datagen.sf_from_dir(sf_dir)
-    tpath = datagen.transcripts_path(sf)
+    # sharded layout for the timed flagship (realistic many-file input);
+    # the single-file cache still backs the oracle-gated queries
+    tpath = datagen.transcripts_shards_dir(datagen.SF_TURNS.get(sf, 60_000), n_shards=16)
     _warm(tpath)
 
     queries: dict[str, float] = {}

@@ -59,7 +59,10 @@ def expected_daily_count(collection: pd.Series, date: pd.Series) -> pd.Series:
     evaluated in order, the None-cutoff row is the fallback.
     """
     collection = pd.Series(collection).astype(object)
-    d = pd.to_datetime(pd.Series(date), errors="coerce")
+    # ISO date strings compare lexicographically == chronologically and
+    # have no pandas year-2262 ceiling; date objects stringify to ISO
+    d = pd.Series(date).astype(str)
+    d_ok = d.str.match(r"^\d{4}-\d{2}-\d{2}").fillna(False).to_numpy()
     out = collection.map(rules.DAILY_EXPECTED).to_numpy(dtype=object)
 
     for coll, rows in rules.DAILY_EXPECTED_PIECEWISE.items():
@@ -70,7 +73,7 @@ def expected_daily_count(collection: pd.Series, date: pd.Series) -> pd.Series:
         # walk fallback -> most-recent cutoff so later (earlier in list,
         # larger cutoff) rows overwrite
         for cutoff, n in reversed(rows[:-1]):
-            val = np.where((d > pd.Timestamp(cutoff)).to_numpy(), n, val)
+            val = np.where((d > cutoff).to_numpy() & d_ok, n, val)
         out = np.where(mask, val, out)
 
     fallback = np.full(len(collection), rules.DAILY_EXPECTED_DEFAULT)

@@ -36,12 +36,14 @@ def is_valid(
     if not isinstance(collection, pd.Series):
         collection = pd.Series(collection, index=paths.index, dtype=object)
 
-    d = pd.to_datetime(dates, format="%Y-%m-%d", errors="coerce")
-    cutoff = pd.Timestamp(rules.SCL_ANON_IP_CUTOFF)
+    # normalized '%Y-%m-%d' strings compare lexicographically ==
+    # chronologically, and (unlike pandas timestamps) have no year-2262
+    # range ceiling
+    d = pd.Series(dates).astype(object).fillna("")
     names = routing.basename(paths)
 
     is_scl = (collection == "scl").to_numpy()
-    after_cutoff = (d > cutoff).to_numpy()
+    after_cutoff = ((d > rules.SCL_ANON_IP_CUTOFF) & (d != "")).to_numpy()
     invalid = np.zeros(len(paths), dtype=bool)
     invalid |= is_scl & paths.str.contains("varnishncsa", regex=False).to_numpy() & after_cutoff
     invalid |= is_scl & (servers == "hiperion-apache").to_numpy() & after_cutoff
