@@ -306,7 +306,10 @@ def _q_dedup_group_sizes(sf_dir: str):
     from matomo_log_analytics_ray.ops import dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.exact_dup_groups(ds).select_columns(["n_dups"])
+    # Full texts in the driver tables are unique, which would make the
+    # value-hash compare vacuous — group on the normalized first-token
+    # key instead so real duplicate groups exist.
+    return dedup.exact_dup_groups(ds, normalize=dedup.first_token_key).select_columns(["n_dups"])
 
 
 def _q_dedup_minhash_pairs(sf_dir: str):
@@ -543,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_group_sizes": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents "
-            "GROUP BY text HAVING COUNT(*) > 1"
+            "GROUP BY split_part(text, ' ', 1) HAVING COUNT(*) > 1"
         ),
         "text_token_counts": (
             "SELECT doc_id, "

@@ -45,16 +45,26 @@ _BAND_MIX = _rng.integers(1, 2**63 - 1, size=MINHASH_PERMS // LSH_BANDS, dtype=n
 # ---------------------------------------------------------------------------
 
 
-def _content_hash_batch(id_col: str, text_col: str):
+def _content_hash_batch(id_col: str, text_col: str, normalize=None):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col]
+        if normalize is not None:
+            text = normalize(text)
         return pd.DataFrame(
             {
-                "content_hash": hashing.mix(hashing.hash_strings(batch[text_col])),
+                "content_hash": hashing.mix(hashing.hash_strings(text)),
                 id_col: batch[id_col].to_numpy(),
             }
         )
 
     return fn
+
+
+def first_token_key(text: pd.Series) -> pd.Series:
+    """Normalizer for key-based exact dedup: the document's first
+    whitespace token (a cheap stand-in for a canonicalized content key
+    when full texts are unique — e.g. URL-less boilerplate grouping)."""
+    return text.str.split(" ", n=1).str[0]
 
 
 def exact_dedup_keep_ids(
@@ -71,11 +81,14 @@ def exact_dedup_keep_ids(
 
 
 def exact_dup_groups(
-    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text", normalize=None
 ) -> "ray.data.Dataset":
-    """(content_hash, n_dups) for groups with more than one member."""
+    """(content_hash, n_dups) for groups with more than one member.
+
+    `normalize` optionally canonicalizes text before hashing (e.g.
+    `first_token_key`) so near-boilerplate groups collapse."""
     counts = (
-        docs.map_batches(_content_hash_batch(id_col, text_col), batch_format="pandas")
+        docs.map_batches(_content_hash_batch(id_col, text_col, normalize), batch_format="pandas")
         .groupby("content_hash")
         .aggregate(Count(alias_name="n_dups"))
     )
