@@ -32,9 +32,15 @@ TOOLS = np.array(["search", "browser", "bash", "python", ""])
 TOOL_W = np.array([0.2, 0.15, 0.2, 0.15, 0.3])
 
 FAMILIES = np.array(
-    ["ncsa", "nginx_json", "w3c", "common", "common_vhost", "prose", "malformed"]
+    [
+        "ncsa", "nginx_json", "w3c", "common", "common_vhost",
+        "icecast2", "cloudfront", "elb", "s3", "iis",
+        "prose", "malformed",
+    ]
 )
-FAMILY_W = np.array([0.25, 0.18, 0.12, 0.1, 0.08, 0.2, 0.07])
+FAMILY_W = np.array(
+    [0.18, 0.13, 0.09, 0.07, 0.08, 0.04, 0.05, 0.05, 0.05, 0.04, 0.15, 0.07]
+)
 
 VHOSTS = np.array(["scielo.br", "data.scielo.org", "preprints.scielo.org"])
 
@@ -160,6 +166,38 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
     vhost = rng.choice(VHOSTS, size=n_turns).astype(object)
     common_vhost = vhost + " " + common
 
+    ref = referrer.astype(object)
+    mth = method.astype(object)
+    pth = path.astype(object)
+    duration = rng.integers(0, 7200, size=n_turns).astype(str).astype(object)
+    icecast2 = ncsa + " " + duration
+    edge = rng.choice(np.array(["IAD79-C1", "GRU1-C2", "MAD50-P1"]), size=n_turns).astype(object)
+    cloudfront = (
+        t_w3c_d + "\t" + t_w3c_t + "\t" + edge + "\t" + b + "\t" + ip + "\t"
+        + mth + "\t" + vhost + "\t" + pth + "\t" + s + "\t" + ref + "\t" + ua_plus
+    )
+    # %.6f (never scientific notation — 'e' would fall outside the
+    # latency charclass [\d.+-] and silently invalidate the line)
+    lat = np.char.mod("%.6f", rng.random(size=(n_turns, 3))).astype(object)
+    elb = (
+        t_iso + " prod-elb " + ip + ":443 10.0.0.9:80 "
+        + lat[:, 0] + " " + lat[:, 1] + " "
+        + lat[:, 2] + " " + s + " 200 0 " + b + ' "'
+        + mth + " " + pth + ' HTTP/1.1" "' + ua.astype(object)
+        + '" ECDHE-RSA-AES128 TLSv1.2'
+    )
+    s3_line = (
+        "79a5" + " " + vhost + " [" + t_ncsa + "] " + ip
+        + " - 3E57427F3 REST.GET.OBJECT key1 \"" + mth + " " + pth
+        + ' HTTP/1.1" ' + s + " - " + b + " " + b + " 12 11 \"" + ref
+        + '" "' + ua.astype(object) + '" -'
+    )
+    iis = (
+        t_w3c_d + " " + t_w3c_t + " 10.0.0.1 " + mth + " " + pth
+        + " - 443 - " + ip + " " + ua_plus + " " + s + " 0 0 "
+        + rng.integers(1, 5000, size=n_turns).astype(str).astype(object)
+    )
+
     prose_idx = rng.integers(0, len(PROSE_WORDS), size=(n_turns, 8))
     prose = PROSE_WORDS.astype(object)[prose_idx[:, 0]]
     for k in range(1, 8):
@@ -173,9 +211,14 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
             fam == "w3c",
             fam == "common",
             fam == "common_vhost",
+            fam == "icecast2",
+            fam == "cloudfront",
+            fam == "elb",
+            fam == "s3",
+            fam == "iis",
             fam == "prose",
         ],
-        [ncsa, nginx, w3c, common, common_vhost, prose],
+        [ncsa, nginx, w3c, common, common_vhost, icecast2, cloudfront, elb, s3_line, iis, prose],
         default=malformed,
     )
 
@@ -204,7 +247,7 @@ def transcripts_path(sf: str = "sf0.01", seed: int = 42) -> str:
     the file into several blocks/partitions.
     """
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"transcripts_v3_{sf}_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"transcripts_v4_{sf}_seed{seed}.parquet")
     if not os.path.exists(path):
         n = SF_TURNS.get(sf, 60_000)
         tbl = generate_transcripts(n, seed=seed)
@@ -287,7 +330,7 @@ def transcripts_shards_dir(
     import ray
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    d = os.path.join(CACHE_DIR, f"transcripts_v3_{n_turns}x{n_shards}_seed{seed}")
+    d = os.path.join(CACHE_DIR, f"transcripts_v4_{n_turns}x{n_shards}_seed{seed}")
     if not os.path.isdir(d):
         tmpd = d + ".tmp"
         os.makedirs(tmpd, exist_ok=True)

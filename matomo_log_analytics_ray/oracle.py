@@ -11,13 +11,15 @@ from __future__ import annotations
 
 from .stages import classify, enrich, parse
 
+import re as _re
+
+# format -> field -> RE2 group number, computed from the very pattern
+# strings the Ray kernel executes (named groups count in order; fields
+# the kernel doesn't need are non-capturing so every index stays within
+# DuckDB's regexp_extract limit of 9).
 _GROUP_INDEX = {
-    # format -> field -> RE2 group number (named groups count in order)
-    "ncsa_extended": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
-    "nginx_json": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6, "referrer": 7, "agent": 8},
-    "w3c_extended": {"ip": 3, "method": 4, "path": 5, "status": 6, "bytes": 7, "agent": 8},
-    "common_vhost": {"vhost": 1, "ip": 2, "method": 4, "path": 5, "status": 6, "bytes": 7},
-    "common": {"ip": 1, "method": 3, "path": 4, "status": 5, "bytes": 6},
+    fmt: {name: i + 1 for i, name in enumerate(_re.findall(r"\(\?P<(\w+)>", pattern))}
+    for fmt, pattern, _ in parse.FORMATS
 }
 _PATTERNS = {fmt: pattern for fmt, pattern, _ in parse.FORMATS}
 

@@ -18,6 +18,17 @@ COMMON_OK = '7.7.7.7 - - [12/Jan/2024:10:00:00 +0000] "GET /journal/abc HTTP/1.1
 VHOST_OK = 'scielo.br 8.8.8.8 - - [12/Jan/2024:10:00:00 +0000] "GET /x HTTP/1.1" 500 5'
 PROSE = "please summarize the access pattern for this conversation"
 TRUNC = NCSA_OK[:25]
+ICECAST_OK = NCSA_OK + " 3599"
+CF_OK = "2024-01-12\t10:00:00\tIAD79-C1\t4096\t9.9.9.9\tGET\tscielo.br\t/stream/a\t200\t-\tMozilla/5.0+(X11)"
+ELB_OK = (
+    "2024-01-12T10:00:00Z prod-elb 4.4.4.4:52000 10.0.0.9:80 0.000500 0.001000 0.000200 "
+    '200 200 0 8192 "GET /api/v1/export HTTP/1.1" "Mozilla/5.0 (X11)" ECDHE-RSA TLSv1.2'
+)
+S3_OK = (
+    '79a5 scielo.br [12/Jan/2024:10:00:00 +0000] 5.5.5.5 - 3E57 REST.GET.OBJECT key1 '
+    '"GET /pdf/read/889 HTTP/1.1" 200 - 2048 2048 12 11 "-" "curl/8.4.0" -'
+)
+IIS_OK = "2024-01-12 10:00:00 10.0.0.1 GET /index.html - 443 - 6.6.6.6 Mozilla/5.0+(Mac) 200 0 0 112"
 
 
 def _mk(texts):
@@ -62,6 +73,25 @@ def test_common_and_vhost_formats():
     # null agent must not poison classification (non-Kleene and_)
     c = classify.classify_batch(t)
     assert c["outcome"].to_pylist() == ["imported", "http_error", "imported"]
+
+
+def test_cloud_and_streaming_formats():
+    t = parse.parse_batch(_mk([ICECAST_OK, CF_OK, ELB_OK, S3_OK, IIS_OK, NCSA_OK]))
+    assert t["fmt"].to_pylist() == [
+        "icecast2", "amazon_cloudfront", "elb", "s3", "iis", "ncsa_extended",
+    ]
+    assert t["ip"].to_pylist()[:5] == ["1.2.3.4", "9.9.9.9", "4.4.4.4", "5.5.5.5", "6.6.6.6"]
+    assert t["path"].to_pylist()[:5] == [
+        "/article/view/1", "/stream/a", "/api/v1/export", "/pdf/read/889", "/index.html",
+    ]
+    assert t["http_status"].to_pylist() == [200] * 6
+    # iis has no bytes field; cloudfront carries vhost; elb has no referrer
+    assert t["bytes"].to_pylist() == [5120, 4096, 8192, 2048, None, 5120]
+    assert t["vhost"].to_pylist()[:4] == [None, "scielo.br", None, "scielo.br"]
+    assert t["referrer"].to_pylist()[2] is None
+    # a trailing-duration line must NOT be claimed by plain ncsa_extended
+    c = classify.classify_batch(t)
+    assert c["outcome"].to_pylist()[3] == "bot"  # curl UA in the s3 line
 
 
 def test_outcome_precedence():
