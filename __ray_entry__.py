@@ -396,6 +396,35 @@ def _q_similarity_topk(sf_dir: str):
     return out
 
 
+def _q_similarity_ivf_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    qids = head["vec_id"].to_numpy()
+    qvecs = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = similarity.ivf_topk(ds, qids, qvecs, k=5, nlist=8, nprobe=3)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out
+
+
+def _q_dedup_embedding_pairs(sf_dir: str):
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # score column intentionally dropped: inclusion at the 0.4 threshold
+    # is engine-stable (closest pair is 1.3e-4 away at sf0.01) but the
+    # float value itself is not bit-identical across engines.
+    return similarity.embedding_near_dup(ds, threshold=0.4)[["id_a", "id_b"]]
+
+
 def _q_media_payload_stats(sf_dir: str):
     import ray.data
 
@@ -521,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "similarity_topk": _q_similarity_topk,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "media_payload_stats": _q_media_payload_stats,
         "join_orders_customer": _q_join_orders_customer,
         "sessionize_events": _q_sessionize_events,
@@ -570,6 +601,11 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings e CROSS JOIN "
             "       (SELECT * FROM embeddings ORDER BY vec_id LIMIT 2) q"
             ") WHERE rn <= 5"
+        ),
+        "dedup_embedding_pairs": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "media_payload_stats": (
             "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "

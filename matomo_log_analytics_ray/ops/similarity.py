@@ -142,6 +142,84 @@ def lsh_topk(
     return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
 
 
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int = 16, iters: int = 8, seed: int = 0x5EED
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample (spherical:
+    centroids re-normalized each round, assignment by max dot product).
+    The sample is small (<= ~64k rows); the heavy assignment of the full
+    corpus happens distributed in ivf_topk."""
+    sample = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    corpus: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate top-k — the classic scale path for ANN:
+
+    1. train: k-means centroids on a driver-side sample (limit train_n);
+    2. probe: each query selects its nprobe nearest centroids;
+    3. scan: one distributed map_batches pass assigns every corpus row
+       to its nearest centroid and keeps ONLY rows landing in a probed
+       list (the broadcast is just the (nlist, d) centroid matrix);
+    4. score: surviving candidates (a 1/nlist*nprobe fraction of the
+       corpus in expectation) are scored per query driver-side.
+
+    Partitioning assumption: inverted lists are roughly balanced; a
+    pathologically clustered corpus needs more lists (bigger nlist)
+    exactly as in FAISS-style IVF."""
+    train = np.stack(
+        corpus.limit(train_n).to_pandas()[vec_col].to_numpy()
+    )
+    cent = kmeans_centroids(train, nlist=nlist)
+    qmat = _normalize(np.asarray(query_vectors))
+    # (nq, nprobe) probed list ids per query
+    probed = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probed)
+    cent_ref = ray.put(cent)
+    wanted_set = set(wanted.tolist())
+
+    def assign_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
+        lists = np.argmax(vecs @ c.T, axis=1)
+        keep = np.isin(lists, list(wanted_set))
+        out = batch.loc[keep, [id_col, vec_col]].copy()
+        out["ivf_list"] = lists[keep]
+        return out
+
+    candidates = corpus.map_batches(assign_filter, batch_format="pandas").to_pandas()
+    out = []
+    for qi, (qid, qvec) in enumerate(zip(query_ids, qmat)):
+        sub = candidates[candidates["ivf_list"].isin(probed[qi])]
+        if sub.empty:
+            continue
+        mat = _normalize(np.stack(sub[vec_col].to_numpy()))
+        scores = mat @ qvec
+        top = np.argsort(-scores)[: min(k, len(scores))]
+        for rank, i in enumerate(top):
+            out.append((qid, sub[id_col].iloc[i], float(scores[i]), rank))
+    return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
+
+
 def embedding_near_dup(
     corpus: "ray.data.Dataset",
     threshold: float = 0.95,

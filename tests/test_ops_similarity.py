@@ -68,3 +68,23 @@ def test_on_driver_embeddings_table(tmp_path):
     r0 = got[(got["query_id"] == 0) & (got["rank"] == 0)]
     assert r0["vec_id"].iloc[0] == df["vec_id"].iloc[0]
     assert abs(r0["score"].iloc[0] - 1.0) < 1e-5
+
+
+def test_ivf_topk_recall_on_clustered_corpus():
+    # clustered corpus: IVF with nprobe covering the query's cluster
+    # must reach high recall vs exact brute force
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+    assign = rng.integers(0, 8, size=400)
+    vecs = centers[assign] + rng.standard_normal((400, 16)).astype(np.float32) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    qvecs = vecs[[7, 123]]
+    exact = _oracle_topk(vecs, qvecs, 10)
+    got = similarity.ivf_topk(ds, np.array([0, 1]), qvecs, k=10, nlist=8, nprobe=4, train_n=400)
+    for qid in (0, 1):
+        ids = set(got[got["query_id"] == qid]["vec_id"].tolist())
+        recall = len(ids & set(exact[qid].tolist())) / 10
+        assert recall >= 0.8, recall
+    # the query IS a corpus member: must find itself at rank 0
+    assert got[(got["query_id"] == 0) & (got["rank"] == 0)]["vec_id"].iloc[0] == 7
