@@ -510,6 +510,38 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_window_event_counts(sf_dir: str):
+    """Tumbling-window (1h) aggregate over the event stream: the
+    batch-shaped analog of a streaming windowed counter. Bucketing is a
+    stateless map_batches projection; the shuffle key is (window,
+    event_type) — bounded cardinality, so the groupby stays small no
+    matter the input size."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_type", "value"]].copy()
+        out["window_start"] = b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    res = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    res["n"] = res["n"].astype("int64")
+    res["sum_value"] = res["sum_value"].round(3)
+    return res
+
+
 def _q_conv_turn_counts(sf_dir: str):
     import ray.data
 
@@ -555,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_payload_stats": _q_media_payload_stats,
         "join_orders_customer": _q_join_orders_customer,
         "sessionize_events": _q_sessionize_events,
+        "window_event_counts": _q_window_event_counts,
         "conv_turn_counts": _q_conv_turn_counts,
     }
 
@@ -616,6 +649,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "window_event_counts": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start, "
+            "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(value) AS min_value, MAX(value) AS max_value, "
+            "ROUND(SUM(value), 3) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "sessionize_events": (
             "WITH g AS ("

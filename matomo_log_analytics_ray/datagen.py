@@ -34,12 +34,12 @@ TOOL_W = np.array([0.2, 0.15, 0.2, 0.15, 0.3])
 FAMILIES = np.array(
     [
         "ncsa", "nginx_json", "w3c", "common", "common_vhost",
-        "icecast2", "cloudfront", "elb", "s3", "iis",
+        "icecast2", "cloudfront", "elb", "s3", "iis", "common_complete",
         "prose", "malformed",
     ]
 )
 FAMILY_W = np.array(
-    [0.18, 0.13, 0.09, 0.07, 0.08, 0.04, 0.05, 0.05, 0.05, 0.04, 0.15, 0.07]
+    [0.18, 0.13, 0.09, 0.07, 0.08, 0.04, 0.05, 0.05, 0.05, 0.04, 0.04, 0.11, 0.07]
 )
 
 VHOSTS = np.array(["scielo.br", "data.scielo.org", "preprints.scielo.org"])
@@ -165,6 +165,7 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
     )
     vhost = rng.choice(VHOSTS, size=n_turns).astype(object)
     common_vhost = vhost + " " + common
+    common_complete = vhost + " " + ncsa
 
     ref = referrer.astype(object)
     mth = method.astype(object)
@@ -216,9 +217,10 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
             fam == "elb",
             fam == "s3",
             fam == "iis",
+            fam == "common_complete",
             fam == "prose",
         ],
-        [ncsa, nginx, w3c, common, common_vhost, icecast2, cloudfront, elb, s3_line, iis, prose],
+        [ncsa, nginx, w3c, common, common_vhost, icecast2, cloudfront, elb, s3_line, iis, common_complete, prose],
         default=malformed,
     )
 

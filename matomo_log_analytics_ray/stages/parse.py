@@ -90,6 +90,14 @@ RE_IIS = (
     r'(?P<agent>\S+) (?P<status>\d{3}) \d+ \d+ \d+$'
 )
 
+# common_complete: virtual host ahead of a full NCSA-extended line.
+RE_COMMON_COMPLETE = (
+    r'^(?P<vhost>\S+) (?P<ip>\S+) \S+ \S+ \[(?:[^\]]+)\] '
+    r'"(?P<method>\S+) (?P<path>\S+)[^"]*" '
+    r'(?P<status>\d{3}) (?P<bytes>\d+) '
+    r'"(?P<referrer>[^"]*)" "(?P<agent>[^"]*)"$'
+)
+
 # (fmt name, pattern, fields present) — cascade order matters
 # (first match wins; the formats are mutually exclusive by structure).
 FORMATS = [
@@ -101,6 +109,7 @@ FORMATS = [
     ("elb", RE_ELB, ("ip", "method", "path", "status", "bytes", "agent")),
     ("s3", RE_S3, ("ip", "method", "path", "status", "bytes", "referrer", "agent", "vhost")),
     ("iis", RE_IIS, ("ip", "method", "path", "status", "agent")),
+    ("common_complete", RE_COMMON_COMPLETE, ("vhost", "ip", "method", "path", "status", "bytes", "referrer", "agent")),
     ("common_vhost", RE_COMMON_VHOST, ("vhost", "ip", "method", "path", "status", "bytes")),
     ("common", RE_COMMON, ("ip", "method", "path", "status", "bytes")),
 ]

@@ -75,18 +75,24 @@ def test_common_and_vhost_formats():
     assert c["outcome"].to_pylist() == ["imported", "http_error", "imported"]
 
 
+CC_OK = "scielo.br " + NCSA_OK
+
+
 def test_cloud_and_streaming_formats():
-    t = parse.parse_batch(_mk([ICECAST_OK, CF_OK, ELB_OK, S3_OK, IIS_OK, NCSA_OK]))
+    t = parse.parse_batch(_mk([ICECAST_OK, CF_OK, ELB_OK, S3_OK, IIS_OK, NCSA_OK, CC_OK]))
     assert t["fmt"].to_pylist() == [
         "icecast2", "amazon_cloudfront", "elb", "s3", "iis", "ncsa_extended",
+        "common_complete",
     ]
+    assert t["vhost"].to_pylist()[6] == "scielo.br"
+    assert t["referrer"].to_pylist()[6] == "-"
     assert t["ip"].to_pylist()[:5] == ["1.2.3.4", "9.9.9.9", "4.4.4.4", "5.5.5.5", "6.6.6.6"]
     assert t["path"].to_pylist()[:5] == [
         "/article/view/1", "/stream/a", "/api/v1/export", "/pdf/read/889", "/index.html",
     ]
-    assert t["http_status"].to_pylist() == [200] * 6
+    assert t["http_status"].to_pylist() == [200] * 7
     # iis has no bytes field; cloudfront carries vhost; elb has no referrer
-    assert t["bytes"].to_pylist() == [5120, 4096, 8192, 2048, None, 5120]
+    assert t["bytes"].to_pylist() == [5120, 4096, 8192, 2048, None, 5120, 5120]
     assert t["vhost"].to_pylist()[:4] == [None, "scielo.br", None, "scielo.br"]
     assert t["referrer"].to_pylist()[2] is None
     # a trailing-duration line must NOT be claimed by plain ncsa_extended
