@@ -510,6 +510,36 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_a2_date_status(sf_dir: str):
+    """A1/A2 rollup gate: discover the scl manifest, mark every VALID
+    file LOADED (simulating a completed load pass), then roll up
+    per-date completeness through the piecewise expected-count table
+    and the status kernel."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import datestatus, discovery, status
+
+    listing = ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        lambda b: b[b["collection"] == "scl"][["path"]], batch_format="pandas"
+    )
+    manifest = discovery.build_manifest(listing, "scl", concurrency=2)
+
+    def mark_loaded(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["status"] = b["status"].where(
+            b["status"] != status.FILE_QUEUE, status.FILE_LOADED
+        )
+        return b
+
+    rollup = datestatus.rollup_date_status(
+        manifest.map_batches(mark_loaded, batch_format="pandas")
+    )
+    rollup["status"] = rollup["status"].astype("int64")
+    return rollup.sort_values(["collection", "date"]).reset_index(drop=True)
+
+
 def _q_window_event_counts(sf_dir: str):
     """Tumbling-window (1h) aggregate over the event stream: the
     batch-shaped analog of a streaming windowed counter. Bucketing is a
@@ -573,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": _q_q1_lineitem_agg,
         "routing_server_extract": _q_routing_server_extract,
         "scl_discovery": _q_scl_discovery,
+        "a2_date_status": _q_a2_date_status,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -650,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
         ),
+        "a2_date_status": oracle.scl_date_status_sql(lpath),
         "window_event_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start, "
             "event_type, CAST(COUNT(*) AS BIGINT) AS n, "

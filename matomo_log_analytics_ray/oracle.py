@@ -206,6 +206,34 @@ SELECT path, server, log_date,
 FROM d"""
 
 
+def scl_date_status_sql(log_paths_parquet: str) -> str:
+    """A1/A2 oracle: scl discovery -> mark valid files LOADED -> per-date
+    completeness via the piecewise expected-count table (generated from
+    the same rules.DAILY_EXPECTED_PIECEWISE rows the kernel uses)."""
+    from .control import rules
+
+    rows = rules.DAILY_EXPECTED_PIECEWISE["scl"]
+    branches = " ".join(
+        f"WHEN log_date > '{cutoff}' THEN {n}" for cutoff, n in rows if cutoff is not None
+    )
+    fallback = next(n for cutoff, n in rows if cutoff is None)
+    expected_case = f"CASE {branches} ELSE {fallback} END"
+    inner = scl_discovery_sql(log_paths_parquet)
+    return f"""
+WITH disc AS ({inner}),
+loaded AS (
+    SELECT log_date,
+           COUNT(*) FILTER (WHERE status = 0) AS n_loaded
+    FROM disc WHERE log_date <> '' GROUP BY log_date
+)
+SELECT 'scl' AS collection, log_date AS date,
+       CAST(CASE WHEN n_loaded = expected THEN 2
+                 WHEN n_loaded > 0 AND n_loaded < expected THEN 1
+                 ELSE 0 END AS BIGINT) AS status
+FROM (SELECT log_date, n_loaded, {expected_case} AS expected FROM loaded)
+ORDER BY collection, date"""
+
+
 def date_extract_sql(log_paths_parquet: str) -> str:
     """M8 date extraction: first-match-per-format + strict calendar
     validation, hyphenated format first (control/dates.py semantics)."""
