@@ -121,34 +121,43 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     """Append fmt / ip / method / path / http_status / bytes / referrer /
     user_agent columns extracted from ``text``. Zero-copy in, Arrow out.
 
-    Perf: every format after the first probes only rows not yet claimed
-    (claimed rows are masked to '' so the regex fails at offset 0 —
-    identical results, since first-match-wins means a claimed row can
-    never re-match). Two structural premasks cut the worst offenders
-    further: common/common_vhost share the NCSA prefix and would scan
-    almost to the ``$`` anchor on every ncsa line, so they only probe
-    rows ending in a digit (every common-family line ends in the bytes
-    count); cloudfront only probes rows containing a tab (its field
-    separator). Measured ~43% faster parse on the synthetic mix.
+    Perf: every format probes only rows not yet claimed AND passing a
+    cheap structural premask that is a NECESSARY condition of its regex
+    (so masking provably cannot change results): last-char class for the
+    NCSA family (plain-NCSA ends on the agent quote, common/icecast on a
+    digit), first-char class for the timestamp-led dialects (w3c / iis /
+    elb start with a digit, nginx with '{'), tab presence for
+    cloudfront. Without these, every NCSA-prefixed pattern scans almost
+    to its ``$`` anchor on every sibling-format line. Masked rows become
+    '' so the regex fails at offset 0.
     """
     text = pc.cast(batch["text"], pa.string())
     n = len(batch)
     fmt_col = pa.nulls(n, pa.string())
     claimed = pa.array([False] * n, pa.bool_())
     unified = {f: pa.nulls(n, pa.string()) for f in UNIFIED_FIELDS}
-    ends_digit = None
-    first = True
+
+    ends_digit = pc.match_substring_regex(text, r"\d$")
+    ends_quote = pc.ends_with(text, pattern='"')
+    starts_digit = pc.match_substring_regex(text, r"^\d")
+    premask = {
+        "ncsa_extended": ends_quote,
+        "nginx_json": pc.starts_with(text, pattern="{"),
+        "w3c_extended": starts_digit,
+        "icecast2": ends_digit,
+        "amazon_cloudfront": pc.match_substring(text, "\t"),
+        "elb": starts_digit,
+        "s3": None,  # s3's final (version-id) token is unconstrained
+        "iis": starts_digit,
+        "common_complete": ends_quote,
+        "common_vhost": ends_digit,
+        "common": ends_digit,
+    }
 
     for fmt, pattern, fields in FORMATS:
-        candidate = None if first else pc.invert(claimed)
-        first = False
-        if fmt in ("common_vhost", "common", "icecast2"):
-            if ends_digit is None:
-                ends_digit = pc.match_substring_regex(text, r"\d$")
-            candidate = pc.and_not(ends_digit, claimed)
-        elif fmt == "amazon_cloudfront":
-            candidate = pc.and_not(pc.match_substring(text, "\t"), claimed)
-        probe = text if candidate is None else pc.if_else(candidate, text, "")
+        pm = premask.get(fmt)
+        candidate = pc.invert(claimed) if pm is None else pc.and_not(pm, claimed)
+        probe = pc.if_else(candidate, text, "")
         ext = pc.extract_regex(probe, pattern)
         if isinstance(ext, pa.ChunkedArray):
             ext = ext.combine_chunks()
