@@ -550,20 +550,30 @@ def _q_window_event_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[["event_type", "value"]].copy()
-        out["window_start"] = b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
-        return out
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: the shuffle then moves (batches x groups)
+        # partial rows instead of every event
+        b = b.assign(
+            window_start=b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        )
+        g = b.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+            sum_value=("value", "sum"),
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     res = (
-        ds.map_batches(bucket, batch_format="pandas")
+        ds.map_batches(bucket_partial, batch_format="pandas")
         .groupby(["window_start", "event_type"])
         .aggregate(
-            Count(alias_name="n"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
-            Sum("value", alias_name="sum_value"),
+            Sum("n", alias_name="n"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+            Sum("sum_value", alias_name="sum_value"),
         )
         .to_pandas()
     )

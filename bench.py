@@ -182,6 +182,12 @@ def main() -> None:
         "o1_recent_events",
         "j2_orders_semi_join",
         "m8_date_extract",
+        "window_event_counts",
+        "sessionize_events",
+        "dedup_exact_docs",
+        "dedup_minhash_pairs",
+        "text_token_counts",
+        "similarity_topk",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
