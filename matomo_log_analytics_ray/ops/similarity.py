@@ -220,6 +220,71 @@ def ivf_topk(
     return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
 
 
+def embedding_near_dup_bucketed(
+    corpus: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed near-dup: the scale path that never broadcasts the
+    corpus. Each row is hashed into ``n_bands`` independent
+    random-hyperplane signatures; rows sharing any (band, signature)
+    bucket are candidates, verified with exact cosine inside
+    groupby(bucket).map_groups, then deduplicated across bands.
+
+    Recall: a pair at cosine >= t agrees on one hyperplane sign with
+    probability 1 - acos(t)/pi (~0.9 at t=0.95), so P(pair shares at
+    least one of 8 8-bit band signatures) ~ 1-(1-0.9^8)^8 ~ 0.98.
+    Partitioning assumption: bucket sizes stay bounded for roughly
+    isotropic embeddings; raise band_bits if a bucket grows hot.
+    """
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
+        ids = batch[id_col].to_numpy()
+        frames = []
+        for band in range(n_bands):
+            planes = np.random.default_rng(0xBEEF + band).standard_normal(
+                (vecs.shape[1], band_bits)
+            )
+            bits = (vecs @ planes) > 0
+            sig = bits @ (1 << np.arange(band_bits)).astype(np.int64)
+            frames.append(
+                pd.DataFrame({"band": band, "sig": sig, id_col: ids, "vec": list(vecs)})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack(g["vec"].to_numpy())
+        ids = g[id_col].to_numpy()
+        scores = mat @ mat.T
+        ia, ib = np.where(np.triu(scores >= threshold, k=1))
+        a, b_ = ids[ia], ids[ib]
+        swap = a > b_
+        a2 = np.where(swap, b_, a)
+        b2 = np.where(swap, a, b_)
+        keep = a2 != b2
+        return pd.DataFrame(
+            {"id_a": a2[keep], "id_b": b2[keep], "cosine": scores[ia, ib][keep]}
+        )
+
+    pairs = (
+        corpus.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "sig"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        pairs.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def embedding_near_dup(
     corpus: "ray.data.Dataset",
     threshold: float = 0.95,

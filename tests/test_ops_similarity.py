@@ -88,3 +88,23 @@ def test_ivf_topk_recall_on_clustered_corpus():
         assert recall >= 0.8, recall
     # the query IS a corpus member: must find itself at rank 0
     assert got[(got["query_id"] == 0) & (got["rank"] == 0)]["vec_id"].iloc[0] == 7
+
+
+def test_bucketed_near_dup_matches_broadcast_path():
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    # 6 planted near-dup pairs: tiny perturbations of existing rows
+    dups = base[:6] + rng.standard_normal((6, 16)).astype(np.float32) * 0.01
+    vecs = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    exact = similarity.embedding_near_dup(ds, threshold=0.98)
+    bucketed = similarity.embedding_near_dup_bucketed(ds, threshold=0.98)
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    got_pairs = set(zip(bucketed["id_a"], bucketed["id_b"]))
+    # bucketed path may only MISS pairs (recall < 1), never invent them
+    assert got_pairs <= exact_pairs
+    assert len(got_pairs) >= 0.9 * len(exact_pairs)
+    # the 6 planted pairs are the easy ones — all must be found
+    planted = {(i, 60 + i) for i in range(6)}
+    assert planted <= got_pairs
