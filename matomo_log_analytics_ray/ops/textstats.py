@@ -68,9 +68,13 @@ def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     words = batch[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
     langs = list(STOPWORDS)
     votes = np.zeros((len(batch), len(langs)), dtype=np.int64)
+    # vectorized: one exploded word Series, per-language isin + bincount
+    # on the row index (no per-row Python)
+    exploded = words.reset_index(drop=True).explode().dropna()
+    row_idx = exploded.index.to_numpy(dtype=np.int64)
     for j, lang in enumerate(langs):
-        sw = STOPWORDS[lang]
-        votes[:, j] = words.map(lambda ws: sum(w in sw for w in ws)).to_numpy()
+        hit = exploded.isin(STOPWORDS[lang]).to_numpy(dtype=bool)
+        votes[:, j] = np.bincount(row_idx[hit], minlength=len(batch))
     best = votes.argmax(axis=1)
     out = batch.copy()
     out["lang_pred"] = np.where(
