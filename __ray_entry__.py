@@ -413,6 +413,23 @@ def _q_similarity_ivf_topk(sf_dir: str):
     return out
 
 
+def _q_similarity_lsh_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    qids = head["vec_id"].to_numpy()
+    qvecs = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = similarity.lsh_topk(ds, qids, qvecs, k=5, n_bits=6)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out
+
+
 def _q_dedup_embedding_pairs(sf_dir: str):
     import ray.data
 
@@ -624,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_text_fingerprint,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "similarity_lsh_topk": _q_similarity_lsh_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "media_payload_stats": _q_media_payload_stats,
         "join_orders_customer": _q_join_orders_customer,
