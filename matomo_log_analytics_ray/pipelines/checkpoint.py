@@ -166,7 +166,9 @@ def run_checkpointed(
     """
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, cpus // 2)  # leave CPUs for the driver-side stages
+        # autoscaling pool: never demands more actors than partitions,
+        # caps at cpus//2 so reads/driver stages are never starved
+        concurrency = (1, max(1, cpus // 2))
     parts = plan_partitions(input_paths, row_groups_per_partition)
     journal_dir = os.path.join(out_dir, JOURNAL_DIRNAME)
     done = completed_partitions(journal_dir)
