@@ -49,7 +49,16 @@ def build_pipeline(
     if isinstance(source, ray.data.Dataset):
         ds = source
     else:
-        ds = ray.data.read_parquet(source)
+        import os
+
+        if isinstance(source, str) and os.path.isdir(source):
+            # one block per shard file: fuller write tasks (file count of
+            # the routed sink scales with task count x sinks), and
+            # read+parse fuse per shard instead of Ray's finer auto-split
+            n_files = len([f for f in os.listdir(source) if f.endswith(".parquet")])
+            ds = ray.data.read_parquet(source, override_num_blocks=max(1, n_files))
+        else:
+            ds = ray.data.read_parquet(source)
 
     kwargs = {}
     if batch_size is not None:
