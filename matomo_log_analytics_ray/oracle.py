@@ -206,6 +206,59 @@ SELECT path, server, log_date,
 FROM d"""
 
 
+def generic_server_extract_sql(
+    log_paths_parquet: str, collections: tuple = ("arg", "esp", "cub")
+) -> str:
+    """M5 generic-collection ("ratchet") routing oracle, generated from
+    the SAME broadcast tables the kernel uses: substring containment
+    (contains(), not LIKE — patterns hold '_' which LIKE would treat as
+    a wildcard), collection-prefix post-filter, exactly-one filename hit
+    wins, zero filename hits fall through to the dir table, >1 hit
+    anywhere is ambiguous -> '' (reference lib_file_name.py:48-70)."""
+    from .control import rules
+
+    base = "regexp_extract(path, '([^/]+)$', 1)"
+    parts = []
+    for coll in collections:
+        fn = [
+            (pat, prefix + num)
+            for pat, (prefix, num) in rules.FILENAME_PATTERN_TO_SERVER.items()
+            if coll in prefix
+        ]
+        dr = [
+            (pat, prefix + num)
+            for pat, (prefix, num) in rules.DIR_PATTERN_TO_SERVER.items()
+            if coll in prefix
+        ]
+
+        def count_expr(entries, hay):
+            if not entries:
+                return "0"
+            return " + ".join(
+                f"CASE WHEN contains({hay}, '{pat}') THEN 1 ELSE 0 END"
+                for pat, _ in entries
+            )
+
+        def pick_expr(entries, hay):
+            if not entries:
+                return "''"
+            branches = " ".join(
+                f"WHEN contains({hay}, '{pat}') THEN '{srv}'" for pat, srv in entries
+            )
+            return f"CASE {branches} ELSE '' END"
+
+        server = (
+            f"CASE WHEN ({count_expr(fn, base)}) = 1 THEN {pick_expr(fn, base)} "
+            f"WHEN ({count_expr(fn, base)}) = 0 AND ({count_expr(dr, 'path')}) = 1 "
+            f"THEN {pick_expr(dr, 'path')} ELSE '' END"
+        )
+        parts.append(
+            f"SELECT collection, path, {server} AS server "
+            f"FROM read_parquet('{log_paths_parquet}') WHERE collection = '{coll}'"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def scl_date_status_sql(log_paths_parquet: str) -> str:
     """A1/A2 oracle: scl discovery -> mark valid files LOADED -> per-date
     completeness via the piecewise expected-count table (generated from
