@@ -113,14 +113,14 @@ def _q_date_extract(sf_dir: str):
 def _q_o1_recent_events(sf_dir: str):
     import ray.data
 
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "ts", "user_id", "event_type"],
-        )
-        .sort(["ts", "event_id"], descending=[True, True])
-        .limit(1000)
+    from matomo_log_analytics_ray.ops import topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
     )
+    # per-block partial top-k + single merge instead of a global sort
+    return topk.topk(ds, ["ts", "event_id"], 1000, descending=True)
 
 
 def _q_d1_dedup_events(sf_dir: str):

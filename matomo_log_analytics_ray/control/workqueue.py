@@ -27,10 +27,15 @@ def recent_work_queue(
     def _filter(b: pd.DataFrame) -> pd.DataFrame:
         return b[(b["collection"] == collection) & ~b["status"].isin(ignore)]
 
-    return (
-        manifest.map_batches(_filter, batch_format="pandas")
-        .sort("date", descending=True)
-        .limit(limit)
+    from ..ops import topk as _topk
+
+    # per-block partial top-k then a tiny merge — no global sort shuffle
+    # (path as tiebreaker gives a total, deterministic order)
+    return _topk.topk(
+        manifest.map_batches(_filter, batch_format="pandas"),
+        ["date", "path"],
+        limit,
+        descending=True,
     )
 
 

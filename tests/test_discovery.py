@@ -92,3 +92,18 @@ def test_completed_dates_semi_join():
     )
     got = workqueue.completed_dates(rollup, "scl", ["2021-01-01", "2021-01-03"])
     assert got["date"].tolist() == ["2021-01-01"]
+
+
+def test_topk_matches_full_sort():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import topk
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"a": rng.integers(0, 50, 5000), "b": np.arange(5000)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = topk.topk(ds, ["a", "b"], 100, descending=True).to_pandas()
+    want = df.sort_values(["a", "b"], ascending=False).head(100).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
