@@ -19,7 +19,10 @@ from . import status as st
 def recent_work_queue(
     manifest: "ray.data.Dataset",
     collection: str,
-    ignore_status: tuple = (st.FILE_LOADED, st.FILE_INVALID),
+    # REJECTED (-99) rows are our auditable analog of files the
+    # reference skips before insert (lib_database.py:72) — they are
+    # never work items
+    ignore_status: tuple = (st.FILE_LOADED, st.FILE_INVALID, -99),
     limit: int = 1000,
 ) -> "ray.data.Dataset":
     ignore = set(int(s) for s in ignore_status)
