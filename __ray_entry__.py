@@ -554,6 +554,25 @@ def _q_generic_server_extract(sf_dir: str):
     )
 
 
+def _q_ven_server_extract(sf_dir: str):
+    """M7 Venezuela routing (regex decision tree) over the ven fixture
+    rows."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import routing
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["collection"] == "ven"].copy()
+        batch["server"] = routing.extract_server(batch["path"], "ven")
+        return batch[["path", "server"]]
+
+    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def _q_a2_date_status(sf_dir: str):
     """A1/A2 rollup gate: discover the scl manifest, mark every VALID
     file LOADED (simulating a completed load pass), then roll up
@@ -659,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scl_discovery": _q_scl_discovery,
         "a2_date_status": _q_a2_date_status,
         "m5_generic_server_extract": _q_generic_server_extract,
+        "m7_ven_server_extract": _q_ven_server_extract,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -739,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a2_date_status": oracle.scl_date_status_sql(lpath),
         "m5_generic_server_extract": oracle.generic_server_extract_sql(lpath),
+        "m7_ven_server_extract": oracle.ven_server_extract_sql(lpath),
         "window_event_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start, "
             "event_type, CAST(COUNT(*) AS BIGINT) AS n, "

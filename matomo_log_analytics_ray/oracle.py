@@ -259,6 +259,51 @@ def generic_server_extract_sql(
     return " UNION ALL ".join(parts)
 
 
+def ven_server_extract_sql(log_paths_parquet: str) -> str:
+    """M7 Venezuela routing oracle: the same ordered condition cascade
+    as routing._rule_ven (np.select — first true wins — mirrored as a
+    SQL CASE), with the three RE_VEN_* regexes interpolated verbatim
+    from control/rules.py (reference lib_file_name.py:88-117)."""
+    from .control import rules
+
+    base = "regexp_extract(path, '([^/]+)$', 1)"
+
+    def c(s: str) -> str:
+        return f"contains(path, '{s}')"
+
+    def cn(s: str) -> str:
+        return f"contains({base}, '{s}')"
+
+    sd = f"regexp_matches({base}, '{rules.RE_VEN_STARTS_WITH_DATE}')"
+    ed = f"regexp_matches({base}, '{rules.RE_VEN_ENDS_WITH_DATE}')"
+    edc = f"regexp_matches({base}, '{rules.RE_VEN_ENDS_WITH_DATE_NO_HYPHEN}')"
+    apache, c01, c02 = c("apache"), c("centos-2gb-nyc3-01"), c("centos-2gb-nyc3-02")
+    cascade = [
+        (f"{apache} AND {c01} AND {sd}", "ven1"),
+        (f"{apache} AND {c01} AND {ed}", "ven3"),
+        (f"{apache} AND {c01} AND {edc}", "ven4"),
+        (f"{apache} AND {c01}", ""),
+        (f"{apache} AND {c02} AND {c('scielo-org-ve')} AND {ed}", "ven5"),
+        (f"{apache} AND {c02} AND {c('scielo-org-ve')}", ""),
+        (f"{apache} AND {c02} AND {c('varnish-aws')}", "ven6"),
+        (f"{apache} AND {c02}", ""),
+        (f"{apache} AND {cn('ve-scielo-org-access')} AND {sd}", "ven1"),
+        (f"{apache} AND {cn('ve-scielo-org-access')}", ""),
+        (f"{apache} AND {cn('ve-scielo-org')} AND {sd}", "ven2"),
+        (apache, ""),
+        (c("logs-ha"), "ven7"),
+    ]
+    case = (
+        "CASE "
+        + " ".join(f"WHEN {cond} THEN '{srv}'" for cond, srv in cascade)
+        + " ELSE '' END"
+    )
+    return (
+        f"SELECT path, {case} AS server "
+        f"FROM read_parquet('{log_paths_parquet}') WHERE collection = 'ven'"
+    )
+
+
 def scl_date_status_sql(log_paths_parquet: str) -> str:
     """A1/A2 oracle: scl discovery -> mark valid files LOADED -> per-date
     completeness via the piecewise expected-count table (generated from
