@@ -554,6 +554,34 @@ def _q_generic_server_extract(sf_dir: str):
     )
 
 
+def _q_name_builders(sf_dir: str):
+    """M9-M11: basename, <server>-<date> name, summary and gunzip
+    filename constructors over the path fixture."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import dates, routing
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["collection"] == "scl"].copy()
+        server = routing.extract_server(b["path"], "scl")
+        date = dates.extract_date(b["path"])
+        return pd.DataFrame(
+            {
+                "path": b["path"],
+                "base": routing.basename(b["path"]),
+                "name": routing.make_name(server, date),
+                "summary_name": routing.summary_filename(b["path"]),
+                "gz_name": routing.gunzip_filename(routing.basename(b["path"])),
+            }
+        )
+
+    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def _q_ven_server_extract(sf_dir: str):
     """M7 Venezuela routing (regex decision tree) over the ven fixture
     rows."""
@@ -679,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a2_date_status": _q_a2_date_status,
         "m5_generic_server_extract": _q_generic_server_extract,
         "m7_ven_server_extract": _q_ven_server_extract,
+        "m9_name_builders": _q_name_builders,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -760,6 +789,17 @@ def oracle_sql() -> dict[str, str]:
         "a2_date_status": oracle.scl_date_status_sql(lpath),
         "m5_generic_server_extract": oracle.generic_server_extract_sql(lpath),
         "m7_ven_server_extract": oracle.ven_server_extract_sql(lpath),
+        "m9_name_builders": (
+            f"""SELECT path,
+       regexp_extract(path, '([^/]+)$', 1) AS base,
+       (CASE WHEN contains(path, 'node03') THEN 'node03'
+             WHEN contains(path, 'hiperion') AND contains(path, 'apache') THEN 'hiperion-apache'
+             WHEN contains(path, 'hiperion') AND contains(path, 'varnish') THEN 'hiperion-varnish'
+             ELSE '' END) || '-' || {oracle._date_expr()} AS name,
+       regexp_extract(path, '([^/]+)$', 1) || '.summary.txt' AS summary_name,
+       regexp_extract(path, '([^/]+)$', 1) || '.gz' AS gz_name
+FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
+        ),
         "window_event_counts": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start, "
             "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
