@@ -93,6 +93,26 @@ def _q_parse_format_counts(sf_dir: str):
     )
 
 
+def _q_parse_log_ts(sf_dir: str):
+    """Per-turn log-line clock (TS_FAMILIES cascade) as a string, gated
+    against the oracle's regexp+try_strptime derivation."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.stages import parse
+
+    def fn(batch) -> "pd.DataFrame":
+        t = parse.parse_batch(batch)
+        df = t.select(["conv_id", "turn_idx", "fmt", "log_ts"]).to_pandas()
+        df["fmt"] = df["fmt"].fillna("none")
+        df["log_ts"] = df["log_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").fillna("")
+        return df
+
+    return ray.data.read_parquet(_transcripts(sf_dir)).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def _q_date_extract(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -695,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_global_counters": _q_flagship_global_counters,
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
         "parse_format_counts": _q_parse_format_counts,
+        "parse_log_ts": _q_parse_log_ts,
         "m8_date_extract": _q_date_extract,
         "o1_recent_events": _q_o1_recent_events,
         "d1_dedup_events": _q_d1_dedup_events,
@@ -829,6 +850,7 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "flagship_global_counters": oracle.global_counters_sql(src),
         "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),
         "parse_format_counts": oracle.format_counts_sql(src),
+        "parse_log_ts": oracle.log_ts_sql(src),
         "m8_date_extract": oracle.date_extract_sql(lpath),
         "o1_recent_events": (
             "SELECT event_id, ts, user_id, event_type FROM events "

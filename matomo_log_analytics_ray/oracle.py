@@ -36,6 +36,35 @@ def _field_sql(field: str, cast: str | None = None) -> str:
     return "CASE " + " ".join(branches) + " END"
 
 
+def log_ts_sql(source_sql: str) -> str:
+    """The hit's own clock (parse.TS_FAMILIES) as a '%Y-%m-%d %H:%M:%S'
+    string per turn, generated from the same when-regexes and strptime
+    formats the Ray kernel applies; '' when the line carries no parseable
+    time (fmt null)."""
+    branches = []
+    for fmts, when_re, strp in parse.TS_FAMILIES:
+        ngroups = when_re.count("(?P<")
+        if ngroups == 1:
+            when = f"regexp_extract(text, '{when_re}', 1)"
+        else:
+            when = (
+                f"regexp_extract(text, '{when_re}', 1) || ' ' || "
+                f"regexp_extract(text, '{when_re}', 2)"
+            )
+        fmt_list = ", ".join(f"'{f}'" for f in fmts)
+        branches.append(
+            f"WHEN fmt IN ({fmt_list}) THEN "
+            f"COALESCE(strftime(try_strptime({when}, '{strp}'), '%Y-%m-%d %H:%M:%S'), '')"
+        )
+    ts_case = "CASE " + " ".join(branches) + " ELSE '' END"
+    return (
+        parsed_cte(source_sql)
+        + f"""
+SELECT conv_id, turn_idx, COALESCE(fmt, 'none') AS fmt, {ts_case} AS log_ts
+FROM enriched"""
+    )
+
+
 def parsed_cte(source_sql: str) -> str:
     """CTE chain src -> parsed -> classified -> enriched over any
     source relation with transcripts columns."""

@@ -4,11 +4,13 @@ The Ray-native analog of import_logs.py's format-detection parsers
 (evidence for the format taxonomy: counter columns
 /root/reference/models/declarative.py:37-42 and the summary counters
 /root/reference/libs/lib_summary.py:10-20; formats are public Matomo
-knowledge). Three formats are recognized in a FIRST-MATCH-WINS cascade
+knowledge). Eleven formats are recognized in a FIRST-MATCH-WINS cascade
 (mirroring the reference's cascaded extraction idiom,
-/root/reference/libs/lib_file_name.py:153-163): NCSA-extended,
-nginx-JSON, W3C-extended. A line matching none parses to fmt=null
-(-> outcome 'invalid').
+/root/reference/libs/lib_file_name.py:153-163): ncsa_extended,
+nginx_json, w3c_extended, icecast2, amazon_cloudfront, elb, s3, iis,
+common_complete, common_vhost, common. A line matching none parses to
+fmt=null (-> outcome 'invalid'). A second small cascade (TS_FAMILIES)
+parses each line's own clock into a ``log_ts`` timestamp column.
 
 All patterns are RE2-compatible and are interpolated VERBATIM into the
 DuckDB oracle SQL (__ray_entry__.oracle_sql), so the Ray pipeline and
@@ -116,6 +118,38 @@ FORMATS = [
 
 UNIFIED_FIELDS = ("ip", "method", "path", "status", "bytes", "referrer", "agent", "vhost")
 
+# The log line's OWN timestamp (import_logs parses hit time for Matomo;
+# our main patterns keep the time group non-capturing for the DuckDB
+# group-index limit, so log-time extraction is its own small cascade).
+# One (when-regex, strptime-format) per family; applied only to rows
+# claimed by that family's formats.
+TS_FAMILIES = [
+    # bracketed NCSA clock (first [...] on the line)
+    (
+        ("ncsa_extended", "icecast2", "s3", "common_complete", "common_vhost", "common"),
+        r"\[(?P<when>\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2})",
+        "%d/%b/%Y:%H:%M:%S",
+    ),
+    # ISO-8601 (nginx_json "time" field, elb leading timestamp)
+    (
+        ("nginx_json", "elb"),
+        r"(?P<when>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})",
+        "%Y-%m-%dT%H:%M:%S",
+    ),
+    # leading "date time" pair (w3c, iis)
+    (
+        ("w3c_extended", "iis"),
+        r"^(?P<when>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})",
+        "%Y-%m-%d %H:%M:%S",
+    ),
+    # cloudfront: date<TAB>time
+    (
+        ("amazon_cloudfront",),
+        r"^(?P<d>\d{4}-\d{2}-\d{2})\t(?P<t>\d{2}:\d{2}:\d{2})",
+        "%Y-%m-%d %H:%M:%S",
+    ),
+]
+
 
 def parse_batch(batch: pa.Table) -> pa.Table:
     """Append fmt / ip / method / path / http_status / bytes / referrer /
@@ -167,8 +201,28 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             unified[f] = pc.if_else(hit, ext.field(f), unified[f])
         claimed = pc.or_(claimed, hit)
 
+    # log_ts: the hit's own clock, parsed per family over claimed rows
+    log_ts = pa.nulls(n, pa.timestamp("us"))
+    for fmts, when_re, strp_fmt in TS_FAMILIES:
+        fam_mask = pc.is_in(fmt_col, value_set=pa.array(list(fmts), pa.string()))
+        probe = pc.if_else(fam_mask, text, "")
+        ext = pc.extract_regex(probe, when_re)
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        ok = pc.is_valid(ext)
+        nfields = ext.type.num_fields
+        if nfields == 1:
+            when = ext.field(0)
+        else:  # date + time captured separately (cloudfront's tab)
+            when = pc.binary_join_element_wise(ext.field(0), ext.field(1), " ")
+        parsed = pc.strptime(
+            pc.if_else(ok, when, None), format=strp_fmt, unit="us", error_is_null=True
+        )
+        log_ts = pc.if_else(ok, parsed, log_ts)
+
     out = batch
     out = out.append_column("fmt", fmt_col)
+    out = out.append_column("log_ts", log_ts)
     out = out.append_column("ip", unified["ip"])
     out = out.append_column("method", unified["method"])
     out = out.append_column("path", unified["path"])

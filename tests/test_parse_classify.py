@@ -122,3 +122,12 @@ def test_every_row_gets_exactly_one_outcome():
     t = classify.classify_batch(parse.parse_batch(_mk(texts)))
     assert t["outcome"].null_count == 0
     assert len(t) == len(texts)
+
+
+def test_log_ts_extraction_per_family():
+    t = parse.parse_batch(_mk([NCSA_OK, NGINX_OK, W3C_OK, CF_OK, ELB_OK, S3_OK, IIS_OK, ICECAST_OK, PROSE]))
+    ts = t["log_ts"].to_pylist()
+    import datetime as dt
+    want = dt.datetime(2024, 1, 12, 10, 0, 0)
+    assert ts[:8] == [want] * 8  # every format carries the same clock
+    assert ts[8] is None  # prose has no parseable time
