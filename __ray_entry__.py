@@ -72,6 +72,32 @@ def _q_flagship_routed_tool_bash(sf_dir: str):
     )
 
 
+def _q_flagship_sink_hourly(sf_dir: str):
+    """Per-(sink, hour) imported-hit counts keyed on the line's own
+    clock (log_ts) — the Matomo per-site time-series analog. Partial
+    combine inside map_batches; the shuffle moves (sink x hours)
+    partials only."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.pipelines import flagship
+
+    def partial(batch) -> "pd.DataFrame":
+        df = batch.select(["sink", "outcome", "log_ts"]).to_pandas()
+        df = df[df["outcome"] == "imported"]
+        df["hour"] = df["log_ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        g = df.groupby(["sink", "hour"], as_index=False).agg(n=("sink", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    ds = flagship.build_pipeline(_transcripts(sf_dir))
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["sink", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def _q_parse_format_counts(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -716,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
         "parse_format_counts": _q_parse_format_counts,
         "parse_log_ts": _q_parse_log_ts,
+        "flagship_sink_hourly": _q_flagship_sink_hourly,
         "m8_date_extract": _q_date_extract,
         "o1_recent_events": _q_o1_recent_events,
         "d1_dedup_events": _q_d1_dedup_events,
@@ -851,6 +878,7 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),
         "parse_format_counts": oracle.format_counts_sql(src),
         "parse_log_ts": oracle.log_ts_sql(src),
+        "flagship_sink_hourly": oracle.sink_hourly_sql(src),
         "m8_date_extract": oracle.date_extract_sql(lpath),
         "o1_recent_events": (
             "SELECT event_id, ts, user_id, event_type FROM events "

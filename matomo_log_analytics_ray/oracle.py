@@ -124,6 +124,33 @@ FROM enriched GROUP BY sink, outcome"""
     )
 
 
+def sink_hourly_sql(source_sql: str) -> str:
+    """Per-(sink, hour-of-log_ts) imported-hit counts — the Matomo-like
+    per-site time series, keyed on the line's OWN clock (log_ts), not
+    the transcript ts."""
+    branches = []
+    for fmts, when_re, strp in parse.TS_FAMILIES:
+        ngroups = when_re.count("(?P<")
+        if ngroups == 1:
+            when = f"regexp_extract(text, '{when_re}', 1)"
+        else:
+            when = (
+                f"regexp_extract(text, '{when_re}', 1) || ' ' || "
+                f"regexp_extract(text, '{when_re}', 2)"
+            )
+        fmt_list = ", ".join(f"'{f}'" for f in fmts)
+        branches.append(f"WHEN fmt IN ({fmt_list}) THEN try_strptime({when}, '{strp}')")
+    ts_case = "CASE " + " ".join(branches) + " END"
+    return (
+        parsed_cte(source_sql)
+        + f"""
+SELECT sink, strftime(date_trunc('hour', {ts_case}), '%Y-%m-%d %H:00:00') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM enriched WHERE outcome = 'imported'
+GROUP BY sink, hour"""
+    )
+
+
 def routed_rows_sql(source_sql: str, sink: str) -> str:
     """Routed rows of one sink under stable (conv_id, turn_idx) order —
     the per-turn text-equality contract (BASELINE.json input_hint)."""
