@@ -103,3 +103,27 @@ def test_global_counters_shape():
     assert c["requests_imported_successfully"] == 15
     assert c["requests_ignored"] == 2
     assert c["requests_done_by_bots"] == 2
+
+
+def test_colocated_write_same_rows_fewer_files(tmp_path):
+    import glob
+
+    import duckdb
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.pipelines import flagship
+    from matomo_log_analytics_ray.stages import route
+
+    p = datagen.transcripts_path("sf0.001")
+    out_a, out_b = str(tmp_path / "default"), str(tmp_path / "colocated")
+    ds = flagship.build_pipeline(ray.data.read_parquet(p).repartition(4))
+    route.write_routed(ds, out_a)
+    ds = flagship.build_pipeline(ray.data.read_parquet(p).repartition(4))
+    route.write_routed(ds, out_b, colocate_by_sink=True)
+    fa = glob.glob(out_a + "/sink=*/**/*.parquet", recursive=True)
+    fb = glob.glob(out_b + "/sink=*/**/*.parquet", recursive=True)
+    assert len(fb) < len(fa)
+    con = duckdb.connect()
+    q = "SELECT conv_id, turn_idx FROM read_parquet('{}/sink=*/*.parquet', hive_partitioning=1) ORDER BY 1, 2"
+    assert con.execute(q.format(out_a)).df().equals(con.execute(q.format(out_b)).df())
