@@ -647,6 +647,26 @@ def _q_ven_server_extract(sf_dir: str):
     )
 
 
+def _q_summary_counters(sf_dir: str):
+    """M12 counter-vector extraction over the deterministic summary
+    corpus (reversed-scan last-occurrence semantics; A5 status
+    resolution stays pytest-gated)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import summary
+
+    cols = ["summary_id", *summary.COUNTER_ATTRS, "total_time"]
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return summary.parse_summaries_batch(b)[cols]
+
+    return ray.data.read_parquet(datagen.summaries_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def _q_a2_date_status(sf_dir: str):
     """A1/A2 rollup gate: discover the scl manifest, mark every VALID
     file LOADED (simulating a completed load pass), then roll up
@@ -756,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m5_generic_server_extract": _q_generic_server_extract,
         "m7_ven_server_extract": _q_ven_server_extract,
         "m9_name_builders": _q_name_builders,
+        "m12_summary_counters": _q_summary_counters,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -781,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
 
     tpath = datagen.transcripts_path("sf0.01")
     lpath = datagen.log_paths_path()
+    spath = datagen.summaries_path()
     mpath = datagen.media_path()
     src = oracle.transcripts_source(tpath)
 
@@ -837,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "a2_date_status": oracle.scl_date_status_sql(lpath),
         "m5_generic_server_extract": oracle.generic_server_extract_sql(lpath),
         "m7_ven_server_extract": oracle.ven_server_extract_sql(lpath),
+        "m12_summary_counters": oracle.summary_counters_sql(spath),
         "m9_name_builders": (
             f"""SELECT path,
        regexp_extract(path, '([^/]+)$', 1) AS base,

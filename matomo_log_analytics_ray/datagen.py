@@ -374,6 +374,58 @@ def media_path(n: int = 512, seed: int = 42) -> str:
     return path
 
 
+def generate_summaries(n: int = 200, seed: int = 42) -> pa.Table:
+    """Deterministic import-summary documents (M12 fixture): every doc
+    carries all eight counter labels plus 'total time', interleaved with
+    noise lines; a slice duplicates counter lines LATER in the document
+    (last occurrence wins). Counter lines always carry a number and at
+    most one label, so the reversed-scan semantics and the oracle's
+    greedy-last regex provably agree."""
+    rng = np.random.default_rng(seed)
+    from .control import summary as summod
+
+    docs = []
+    for i in range(n):
+        vals = {a: int(rng.integers(0, 100000)) for a in summod.COUNTER_ATTRS}
+        lines = [f"Logs import summary #{i}", "-------------------------"]
+        for a in summod.COUNTER_ATTRS:
+            lines.append(f"    {vals[a]} {a.replace('_', ' ')}")
+            if rng.random() < 0.3:
+                lines.append("Purging Matomo archives for dates: 2024-01-12")
+        lines.append(f"Total time: {int(rng.integers(1, 900))} seconds")
+        if i % 4 == 0:
+            # Duplicate BELOW the full set. Only the alphabetically
+            # FIRST attr is safe to duplicate: the reversed scan stops
+            # (all 8 seen) before re-reading its earlier line, so the
+            # later value wins — for any other attr the scan would
+            # re-reach the earlier line first and overwrite (the
+            # reference's exact overwrite-until-filled behavior,
+            # lib_summary.py:94-111), which a greedy-last oracle regex
+            # cannot model.
+            a = summod.COUNTER_ATTRS[0]
+            vals[a] = int(rng.integers(0, 100000))
+            lines.append(f"    {vals[a]} {a.replace('_', ' ')}")
+        docs.append(
+            {
+                "summary_id": f"s-{i:04d}",
+                "text": "\n".join(lines),
+                "expected_lines": vals["requests_imported_successfully"]
+                + vals["requests_ignored"],
+            }
+        )
+    return pa.Table.from_pylist(docs)
+
+
+def summaries_path(seed: int = 42) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"summaries_seed{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_summaries(seed=seed), tmp, row_group_size=64)
+        os.replace(tmp, path)
+    return path
+
+
 def sf_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our sf key."""
     base = os.path.basename(os.path.normpath(sf_dir))

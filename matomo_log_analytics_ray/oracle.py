@@ -262,6 +262,32 @@ SELECT path, server, log_date,
 FROM d"""
 
 
+def summary_counters_sql(summaries_parquet: str) -> str:
+    """M12 oracle: per-counter greedy-dotall regex takes the LAST line
+    carrying the label followed by a number on the same line — the
+    fixture is constructed so this equals the engine's reversed
+    overwrite-until-filled scan (see datagen.generate_summaries)."""
+    from .control import summary as summod
+
+    cols = []
+    for attr in summod.COUNTER_ATTRS:
+        label = attr.replace("_", " ")
+        expr = (
+            f"COALESCE(CAST(regexp_extract(lower(text), "
+            f"'(?s).*\\n[^\\n0-9]*([0-9]+)[^\\n]*{label}', 1) AS BIGINT), 0)"
+        )
+        cols.append(f"{expr} AS {attr}")
+    time_expr = (
+        "COALESCE(CAST(regexp_extract(lower(text), "
+        "'(?s).*total time[^\\n0-9]*([0-9]+)', 1) AS BIGINT), 0)"
+    )
+    cols.append(f"{time_expr} AS total_time")
+    return (
+        f"SELECT summary_id, {', '.join(cols)} "
+        f"FROM read_parquet('{summaries_parquet}')"
+    )
+
+
 def generic_server_extract_sql(
     log_paths_parquet: str, collections: tuple = ("arg", "esp", "cub")
 ) -> str:
