@@ -73,3 +73,66 @@ def test_date_status_parity(statuses, collection, d):
         pd.Series([n_loaded]), pd.Series([collection]), pd.Series([d.isoformat()])
     ).iloc[0]
     assert got == ref.date_status(statuses, collection, d)
+
+
+# ---------------------------------------------------------------------------
+# Parse round-trip: random field values -> composed log lines -> the
+# cascade must claim the right format and extract every field verbatim.
+# ---------------------------------------------------------------------------
+import pyarrow as pa
+
+from matomo_log_analytics_ray import schemas
+from matomo_log_analytics_ray.stages import parse
+
+_IP = st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", fullmatch=True)
+_METHOD = st.sampled_from(["GET", "POST", "HEAD", "PUT"])
+# format-legal path charset: no spaces/quotes/tabs (a real uri-stem)
+_PATH = st.from_regex(r"/[a-zA-Z0-9_./?=&%-]{0,40}", fullmatch=True)
+_STATUS = st.integers(100, 599)
+_BYTES = st.integers(0, 10**12)
+_REF = st.sampled_from(["-", "https://r.example/x", ""])
+# agent may hold spaces/parens but not quotes (the quoted-field charset)
+_AGENT = st.from_regex(r"[a-zA-Z0-9 ()/;._+-]{1,40}", fullmatch=True)
+
+
+def _mk_batch(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.large_string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        },
+        schema=schemas.TRANSCRIPTS,
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_IP, _METHOD, _PATH, _STATUS, _BYTES, _REF, _AGENT)
+def test_parse_round_trip_all_formats(ip, method, path, st_, nb, ref, agent):
+    clock = "12/Jan/2024:10:00:05 +0000"
+    agent_plus = agent.replace(" ", "+")
+    lines = {
+        "ncsa_extended": f'{ip} - - [{clock}] "{method} {path} HTTP/1.1" {st_} {nb} "{ref}" "{agent}"',
+        "nginx_json": (
+            f'{{"remote_addr":"{ip}","time":"2024-01-12T10:00:05Z","method":"{method}",'
+            f'"path":"{path}","status":{st_},"bytes":{nb},"referer":"{ref}","ua":"{agent}"}}'
+        ),
+        "w3c_extended": f"2024-01-12 10:00:05 {ip} {method} {path} {st_} {nb} {agent_plus}",
+        "common": f'{ip} - - [{clock}] "{method} {path} HTTP/1.1" {st_} {nb}',
+        "common_vhost": f'h.example {ip} - - [{clock}] "{method} {path} HTTP/1.1" {st_} {nb}',
+        "icecast2": f'{ip} - - [{clock}] "{method} {path} HTTP/1.1" {st_} {nb} "{ref}" "{agent}" 42',
+    }
+    fmts = list(lines)
+    t = parse.parse_batch(_mk_batch([lines[f] for f in fmts]))
+    assert t["fmt"].to_pylist() == fmts
+    assert t["ip"].to_pylist() == [ip] * len(fmts)
+    assert t["method"].to_pylist() == [method] * len(fmts)
+    assert t["path"].to_pylist() == [path] * len(fmts)
+    assert t["http_status"].to_pylist() == [st_] * len(fmts)
+    assert t["bytes"].to_pylist() == [nb] * len(fmts)
+    ua = t["user_agent"].to_pylist()
+    assert ua[0] == agent and ua[1] == agent and ua[2] == agent_plus
