@@ -35,11 +35,11 @@ FAMILIES = np.array(
     [
         "ncsa", "nginx_json", "w3c", "common", "common_vhost",
         "icecast2", "cloudfront", "elb", "s3", "iis", "common_complete",
-        "prose", "malformed",
+        "shoutcast", "prose", "malformed",
     ]
 )
 FAMILY_W = np.array(
-    [0.18, 0.13, 0.09, 0.07, 0.08, 0.04, 0.05, 0.05, 0.05, 0.04, 0.04, 0.11, 0.07]
+    [0.18, 0.13, 0.09, 0.07, 0.08, 0.04, 0.05, 0.05, 0.05, 0.04, 0.04, 0.03, 0.08, 0.07]
 )
 
 VHOSTS = np.array(["scielo.br", "data.scielo.org", "preprints.scielo.org"])
@@ -170,6 +170,11 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
     ref = referrer.astype(object)
     mth = method.astype(object)
     pth = path.astype(object)
+    shoutcast = (
+        ip + " client.example " + t_w3c_d + " " + t_w3c_t + " " + pth + " "
+        + s + " " + ua_plus + " " + b + " "
+        + rng.integers(1, 7200, size=n_turns).astype(str).astype(object) + " 128"
+    )
     duration = rng.integers(0, 7200, size=n_turns).astype(str).astype(object)
     icecast2 = ncsa + " " + duration
     edge = rng.choice(np.array(["IAD79-C1", "GRU1-C2", "MAD50-P1"]), size=n_turns).astype(object)
@@ -218,9 +223,10 @@ def generate_transcripts(n_turns: int, seed: int = 42, conv_start: int = 0) -> p
             fam == "s3",
             fam == "iis",
             fam == "common_complete",
+            fam == "shoutcast",
             fam == "prose",
         ],
-        [ncsa, nginx, w3c, common, common_vhost, icecast2, cloudfront, elb, s3_line, iis, common_complete, prose],
+        [ncsa, nginx, w3c, common, common_vhost, icecast2, cloudfront, elb, s3_line, iis, common_complete, shoutcast, prose],
         default=malformed,
     )
 
@@ -249,7 +255,7 @@ def transcripts_path(sf: str = "sf0.01", seed: int = 42) -> str:
     the file into several blocks/partitions.
     """
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"transcripts_v4_{sf}_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"transcripts_v5_{sf}_seed{seed}.parquet")
     if not os.path.exists(path):
         n = SF_TURNS.get(sf, 60_000)
         tbl = generate_transcripts(n, seed=seed)
@@ -332,7 +338,7 @@ def transcripts_shards_dir(
     import ray
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    d = os.path.join(CACHE_DIR, f"transcripts_v4_{n_turns}x{n_shards}_seed{seed}")
+    d = os.path.join(CACHE_DIR, f"transcripts_v5_{n_turns}x{n_shards}_seed{seed}")
     if not os.path.isdir(d):
         tmpd = d + ".tmp"
         os.makedirs(tmpd, exist_ok=True)

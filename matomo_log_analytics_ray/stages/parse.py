@@ -4,11 +4,11 @@ The Ray-native analog of import_logs.py's format-detection parsers
 (evidence for the format taxonomy: counter columns
 /root/reference/models/declarative.py:37-42 and the summary counters
 /root/reference/libs/lib_summary.py:10-20; formats are public Matomo
-knowledge). Eleven formats are recognized in a FIRST-MATCH-WINS cascade
+knowledge). Twelve formats are recognized in a FIRST-MATCH-WINS cascade
 (mirroring the reference's cascaded extraction idiom,
 /root/reference/libs/lib_file_name.py:153-163): ncsa_extended,
 nginx_json, w3c_extended, icecast2, amazon_cloudfront, elb, s3, iis,
-common_complete, common_vhost, common. A line matching none parses to
+shoutcast, common_complete, common_vhost, common. A line matching none parses to
 fmt=null (-> outcome 'invalid'). A second small cascade (TS_FAMILIES)
 parses each line's own clock into a ``log_ts`` timestamp column.
 
@@ -92,6 +92,13 @@ RE_IIS = (
     r'(?P<agent>\S+) (?P<status>\d{3}) \d+ \d+ \d+$'
 )
 
+# shoutcast W3C dialect: c-ip c-dns date time uri-stem status user-agent
+# sc-bytes x-duration avgbandwidth (no method field -> method stays null).
+RE_SHOUTCAST = (
+    r'^(?P<ip>[\d.]+) \S+ (?:\d{4}-\d{2}-\d{2}) (?:\d{2}:\d{2}:\d{2}) '
+    r'(?P<path>\S+) (?P<status>\d{3}) (?P<agent>\S+) (?P<bytes>\d+) \d+ \d+$'
+)
+
 # common_complete: virtual host ahead of a full NCSA-extended line.
 RE_COMMON_COMPLETE = (
     r'^(?P<vhost>\S+) (?P<ip>\S+) \S+ \S+ \[(?:[^\]]+)\] '
@@ -111,6 +118,7 @@ FORMATS = [
     ("elb", RE_ELB, ("ip", "method", "path", "status", "bytes", "agent")),
     ("s3", RE_S3, ("ip", "method", "path", "status", "bytes", "referrer", "agent", "vhost")),
     ("iis", RE_IIS, ("ip", "method", "path", "status", "agent")),
+    ("shoutcast", RE_SHOUTCAST, ("ip", "path", "status", "agent", "bytes")),
     ("common_complete", RE_COMMON_COMPLETE, ("vhost", "ip", "method", "path", "status", "bytes", "referrer", "agent")),
     ("common_vhost", RE_COMMON_VHOST, ("vhost", "ip", "method", "path", "status", "bytes")),
     ("common", RE_COMMON, ("ip", "method", "path", "status", "bytes")),
@@ -140,6 +148,12 @@ TS_FAMILIES = [
     (
         ("w3c_extended", "iis"),
         r"^(?P<when>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})",
+        "%Y-%m-%d %H:%M:%S",
+    ),
+    # shoutcast: date+time are tokens 3-4 (after ip and dns)
+    (
+        ("shoutcast",),
+        r"^[\d.]+ \S+ (?P<when>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})",
         "%Y-%m-%d %H:%M:%S",
     ),
     # cloudfront: date<TAB>time
@@ -183,6 +197,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         "elb": starts_digit,
         "s3": None,  # s3's final (version-id) token is unconstrained
         "iis": starts_digit,
+        "shoutcast": pc.and_(starts_digit, ends_digit),
         "common_complete": ends_quote,
         "common_vhost": ends_digit,
         "common": ends_digit,

@@ -131,3 +131,17 @@ def test_log_ts_extraction_per_family():
     want = dt.datetime(2024, 1, 12, 10, 0, 0)
     assert ts[:8] == [want] * 8  # every format carries the same clock
     assert ts[8] is None  # prose has no parseable time
+
+
+SHOUTCAST_OK = "7.7.7.7 client.example 2024-01-12 10:00:00 /stream 200 WinampMPEG/5.0 4096 120 128"
+
+
+def test_shoutcast_format():
+    t = parse.parse_batch(_mk([SHOUTCAST_OK, IIS_OK, W3C_OK]))
+    assert t["fmt"].to_pylist() == ["shoutcast", "iis", "w3c_extended"]
+    assert t["ip"].to_pylist()[0] == "7.7.7.7"
+    assert t["path"].to_pylist()[0] == "/stream"
+    assert t["bytes"].to_pylist()[0] == 4096
+    assert t["method"].to_pylist()[0] is None  # shoutcast has no method field
+    import datetime as dt
+    assert t["log_ts"].to_pylist()[0] == dt.datetime(2024, 1, 12, 10, 0, 0)
