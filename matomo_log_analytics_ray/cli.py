@@ -1,0 +1,179 @@
+"""CLI entry points — the Ray-native equivalents of the reference's
+console scripts (`setup.py:24-27`: initialize_database,
+update_available_logs, clean_data; plus the documented-but-missing
+load_logs, README.md:40-46). Composable `--execution_mode` steps follow
+proc/update_available_logs.py:26-34.
+
+Usage (a script may own the Ray session; the library never does):
+
+    python -m matomo_log_analytics_ray.cli init --out ctl/
+    python -m matomo_log_analytics_ray.cli discover \
+        --listing paths.parquet --collection scl --out ctl/ \
+        --execution_mode update_table_log_file --execution_mode update_table_date_status
+    python -m matomo_log_analytics_ray.cli load \
+        --files files.parquet --collection scl --out out/
+    python -m matomo_log_analytics_ray.cli clean \
+        --rollup ctl/date_status.parquet --collection scl \
+        --pretables p/ --archive a/ --r5 r/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def cmd_init(args) -> int:
+    """K5 bootstrap: write empty-schema control tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import schemas
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, schema in (
+        ("manifest", schemas.MANIFEST),
+        ("partition_metrics", schemas.PARTITION_METRICS),
+    ):
+        dest = os.path.join(args.out, f"{name}.parquet")
+        if not os.path.exists(dest):
+            pq.write_table(schema.empty_table(), dest)
+    print(f"initialized control tables under {args.out}")
+    return 0
+
+
+def cmd_discover(args) -> int:
+    """update_available_logs: discovery and/or date-status rollup."""
+    _ensure_ray()
+    import pandas as pd
+    import ray.data
+
+    from .control import datestatus, discovery
+
+    modes = args.execution_mode or ["update_table_log_file", "update_table_date_status"]
+    manifest_path = os.path.join(args.out, "manifest.parquet")
+    if "update_table_log_file" in modes:
+        listing = ray.data.read_parquet(args.listing)
+        if "collection" in listing.schema().names:
+            listing = listing.map_batches(
+                lambda b, c=args.collection: b[b["collection"] == c][["path"]],
+                batch_format="pandas",
+            )
+        existing = None
+        if os.path.exists(manifest_path):
+            existing = ray.data.read_parquet(manifest_path)
+        manifest = discovery.build_manifest(
+            listing, args.collection, existing_manifest=existing
+        ).to_pandas()
+        if existing is not None:
+            manifest = pd.concat([existing.to_pandas(), manifest], ignore_index=True)
+        os.makedirs(args.out, exist_ok=True)
+        tmp = manifest_path + ".tmp"
+        manifest.to_parquet(tmp, index=False)
+        os.replace(tmp, manifest_path)
+        print(f"manifest: {len(manifest)} rows -> {manifest_path}")
+    if "update_table_date_status" in modes:
+        import pandas as pd
+
+        rollup_path = os.path.join(args.out, "date_status.parquet")
+        existing_rollup = (
+            pd.read_parquet(rollup_path) if os.path.exists(rollup_path) else None
+        )
+        rollup = datestatus.rollup_date_status(
+            ray.data.read_parquet(manifest_path), existing=existing_rollup
+        )
+        tmp = rollup_path + ".tmp"
+        rollup.to_parquet(tmp, index=False)
+        os.replace(tmp, rollup_path)
+        print(f"date_status: {len(rollup)} rows -> {rollup_path}")
+    return 0
+
+
+def cmd_load(args) -> int:
+    """load_logs: discovery -> queue -> checkpointed load -> rollup."""
+    _ensure_ray()
+    import pandas as pd
+
+    from .pipelines import lifecycle
+
+    fdf = pd.read_parquet(args.files)
+    files = list(zip(fdf["logical_path"], fdf["parquet_path"]))
+    res = lifecycle.run_load_logs(
+        files, args.collection, args.out, limit=args.limit
+    )
+    print(
+        f"loaded {res['counters']['completed']}/{res['counters']['planned']} partitions, "
+        f"{res['counters']['rows']} rows; rollup rows: {len(res['rollup'])}"
+    )
+    return 0
+
+
+def cmd_clean(args) -> int:
+    """clean_data: archive pretables / delete r5 csvs for COMPLETED dates."""
+    import pandas as pd
+
+    from .control import lifecycle as gc
+
+    rollup = pd.read_parquet(args.rollup)
+    res = gc.clean_completed(
+        rollup, args.collection, args.pretables, args.archive, args.r5
+    )
+    print(f"archived {len(res['archived'])}, removed {len(res['removed'])}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="matomo_log_analytics_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="bootstrap empty control tables (K5)")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("discover", help="update_available_logs analog")
+    sp.add_argument("--listing", required=True, help="parquet of candidate paths")
+    sp.add_argument("--collection", required=True)
+    sp.add_argument("--out", required=True, help="control-table directory")
+    sp.add_argument(
+        "--execution_mode",
+        action="append",
+        choices=["update_table_log_file", "update_table_date_status"],
+    )
+    sp.set_defaults(fn=cmd_discover)
+
+    sp = sub.add_parser("load", help="load_logs analog (checkpointed, resumable)")
+    sp.add_argument(
+        "--files", required=True, help="parquet with (logical_path, parquet_path)"
+    )
+    sp.add_argument("--collection", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--limit", type=int, default=1000)
+    sp.set_defaults(fn=cmd_load)
+
+    sp = sub.add_parser("clean", help="clean_data analog (archive + delete)")
+    sp.add_argument("--rollup", required=True)
+    sp.add_argument("--collection", required=True)
+    sp.add_argument("--pretables", required=True)
+    sp.add_argument("--archive", required=True)
+    sp.add_argument("--r5", required=True)
+    sp.set_defaults(fn=cmd_clean)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,9 +74,13 @@ def build_manifest(
     listing: "ray.data.Dataset",
     collection: str,
     existing_manifest: "ray.data.Dataset | None" = None,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple = (1, 4),
 ) -> "ray.data.Dataset":
     """listing(path[, size]) -> manifest rows (schemas.MANIFEST columns).
+
+    The actor pool autoscales from 1 (a FIXED pool >= cluster CPUs
+    would starve the upstream read task and deadlock the streaming
+    executor — seen live at num_cpus=4 with concurrency=4).
 
     ``existing_manifest`` provides the dedup key set; it is assumed SMALL
     relative to the data (it is a per-file registry — ~1 row per input

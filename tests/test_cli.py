@@ -1,0 +1,41 @@
+"""CLI entry points (reference console-script analogs)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from matomo_log_analytics_ray import cli, datagen
+
+
+def _fixture(tmp_path):
+    paths = [
+        "/usage/scl/node03/2021-05-27.log.gz",
+        "/usage/scl/node03/nodate.log.gz",
+    ]
+    listing = str(tmp_path / "listing.parquet")
+    pd.DataFrame({"path": paths}).to_parquet(listing, index=False)
+    pp = str(tmp_path / "shard0.parquet")
+    pq.write_table(datagen.generate_transcripts(500, seed=3), pp, row_group_size=250)
+    files = str(tmp_path / "files.parquet")
+    pd.DataFrame(
+        [{"logical_path": paths[0], "parquet_path": pp}]
+    ).to_parquet(files, index=False)
+    return listing, files
+
+
+def test_init_discover_load_roundtrip(tmp_path):
+    listing, files = _fixture(tmp_path)
+    ctl, out = str(tmp_path / "ctl"), str(tmp_path / "out")
+    assert cli.main(["init", "--out", ctl]) == 0
+    assert cli.main(["discover", "--listing", listing, "--collection", "scl", "--out", ctl]) == 0
+    m1 = pd.read_parquet(os.path.join(ctl, "manifest.parquet"))
+    assert len(m1) == 2  # valid + rejected (kept)
+    # idempotent re-discovery (D1): no duplicate rows
+    assert cli.main(["discover", "--listing", listing, "--collection", "scl", "--out", ctl]) == 0
+    m2 = pd.read_parquet(os.path.join(ctl, "manifest.parquet"))
+    assert len(m2) == 2
+    assert cli.main(["load", "--files", files, "--collection", "scl", "--out", out]) == 0
+    assert os.path.isdir(os.path.join(out, "_journal"))
+    roll = pd.read_parquet(os.path.join(ctl, "date_status.parquet"))
+    assert set(roll.columns) >= {"collection", "date", "status"}
