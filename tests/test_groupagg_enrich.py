@@ -49,3 +49,33 @@ def test_arrow_resolver_matches_pandas_reference():
     )["sink"].to_pylist()
     assert got == want
     assert want == ["site-0", "system", "tool-bash", "site-0"]
+
+
+def test_dynamic_site_resolver_first_seen_allocation():
+    import numpy as np
+    import ray
+    import ray.data
+
+    from matomo_log_analytics_ray.stages import dynamic_resolver
+
+    hosts = ["a.example", "b.example", "c.example", None, "a.example"] * 200
+    df = pd.DataFrame({"vhost": hosts, "x": np.arange(len(hosts))})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out, registry = dynamic_resolver.resolve_site_ids(ds, concurrency=(1, 3))
+    res = out.to_pandas().sort_values("x").reset_index(drop=True)
+    snap = ray.get(registry.snapshot.remote())
+    # contiguous first-seen ids; every distinct host assigned exactly one
+    assert sorted(snap.values()) == [1, 2, 3]
+    assert set(snap) == {"a.example", "b.example", "c.example"}
+    # same host -> same id everywhere, across batches and actors
+    for h, i in snap.items():
+        got = res.loc[res["vhost"] == h, "site_id"].unique().tolist()
+        assert got == [i]
+    # null host -> null site_id
+    assert res.loc[res["vhost"].isna(), "site_id"].isna().all()
+    # seeding keeps prior ids stable across a "second run"
+    ds2 = ray.data.from_pandas(pd.DataFrame({"vhost": ["d.example", "a.example"]}))
+    out2, reg2 = dynamic_resolver.resolve_site_ids(ds2, seed=snap)
+    out2.materialize()  # lazy dataset: registry only fills once consumed
+    snap2 = ray.get(reg2.snapshot.remote())
+    assert snap2["a.example"] == snap["a.example"] and snap2["d.example"] == 4
