@@ -372,7 +372,7 @@ def media_path(n: int = 512, seed: int = 42) -> str:
     from .ops import multimodal
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"media_{n}_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"media_v2_{n}_seed{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(multimodal.generate_fake_media(n, seed=seed), tmp, row_group_size=128)

@@ -27,6 +27,7 @@ MEDIA_SCHEMA = pa.schema(
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
         pa.field("sample_rate", pa.int32()),
+        pa.field("duration_s", pa.float32()),
     ]
 )
 
@@ -104,19 +105,133 @@ def generate_fake_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media fixture: small binary payloads + metadata."""
     rng = np.random.default_rng(seed)
     types = rng.choice(
-        np.array(["image/png", "image/jpeg", "audio/wav"]), size=n, p=[0.4, 0.4, 0.2]
+        np.array(["image/png", "image/jpeg", "audio/wav", "video/mp4"]),
+        size=n,
+        p=[0.35, 0.35, 0.15, 0.15],
     )
     sizes = rng.integers(64, 4096, size=n)
     payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
-    is_img = types != "audio/wav"
+    is_img = np.isin(types, ["image/png", "image/jpeg"])
+    is_aud = types == "audio/wav"
+    is_vid = types == "video/mp4"
+    has_dims = is_img | is_vid
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(np.where(is_img, rng.integers(16, 512, n), 0).astype(np.int32)),
-            "height": pa.array(np.where(is_img, rng.integers(16, 512, n), 0).astype(np.int32)),
-            "sample_rate": pa.array(np.where(~is_img, 16000, 0).astype(np.int32)),
+            "width": pa.array(np.where(has_dims, rng.integers(16, 512, n), 0).astype(np.int32)),
+            "height": pa.array(np.where(has_dims, rng.integers(16, 512, n), 0).astype(np.int32)),
+            "sample_rate": pa.array(np.where(is_aud, 16000, 0).astype(np.int32)),
+            "duration_s": pa.array(
+                np.where(is_vid | is_aud, rng.uniform(0.5, 30.0, n), 0.0).astype(np.float32)
+            ),
         },
         schema=MEDIA_SCHEMA,
+    )
+
+
+class MediaResizer:
+    """Actor-pool stage: resize image payloads to (target_w, target_h).
+
+    The geometry/metadata handling is real; the pixel work is stubbed —
+    the fake "resize" derives a deterministic payload of w*h/64 bytes by
+    tiling the source bytes, and ``strict=True`` raises where
+    PIL.Image.resize would plug in. Non-image rows pass through
+    untouched."""
+
+    def __init__(self, target_w: int, target_h: int, strict: bool = False):
+        self.target_w = int(target_w)
+        self.target_h = int(target_h)
+        self.strict = strict
+
+    def _resize_payload(self, raw: bytes) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "no image codec in this environment; plug PIL.Image.resize here"
+            )
+        want = max(1, self.target_w * self.target_h // 64)
+        if not raw:
+            return b"\x00" * want
+        reps = want // len(raw) + 1
+        return (raw * reps)[:want]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        is_img = out["media_type"].str.startswith("image/")
+        out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(self._resize_payload)
+        out.loc[is_img, "width"] = self.target_w
+        out.loc[is_img, "height"] = self.target_h
+        return out
+
+
+class FrameSampler:
+    """Actor-pool stage: sample frames from video rows at ``fps`` —
+    a fan-out transform (one video row -> ceil(duration * fps) frame
+    rows; non-video rows emit nothing). Frame payloads are stubbed as
+    deterministic byte slices of the source payload; ``strict=True``
+    raises where a pyav demux/decode would plug in."""
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 64, strict: bool = False):
+        self.fps = float(fps)
+        self.max_frames = int(max_frames)
+        self.strict = strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vids = batch[batch["media_type"] == "video/mp4"]
+        rows = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame_payload": []}
+        for r in vids.itertuples():
+            if self.strict:
+                raise NotImplementedError(
+                    "no video codec in this environment; plug pyav here"
+                )
+            n = min(self.max_frames, max(1, int(np.ceil(r.duration_s * self.fps))))
+            raw = r.payload or b""
+            step = max(1, len(raw) // max(1, n))
+            for k in range(n):
+                rows["media_id"].append(r.media_id)
+                rows["frame_idx"].append(k)
+                rows["frame_ts_s"].append(k / self.fps)
+                rows["frame_payload"].append(raw[k * step : k * step + step])
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "frame_ts_s": pd.Series(rows["frame_ts_s"], dtype="float64"),
+                "frame_payload": pd.Series(rows["frame_payload"], dtype=object),
+            }
+        )
+
+
+def resize_images(
+    media: "ray.data.Dataset",
+    target_w: int,
+    target_h: int,
+    batch_size: int = 32,
+    concurrency: int | tuple = (1, 4),
+    strict: bool = False,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h, "strict": strict},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: "ray.data.Dataset",
+    fps: float = 1.0,
+    max_frames: int = 64,
+    batch_size: int = 16,
+    concurrency: int | tuple = (1, 4),
+    strict: bool = False,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"fps": fps, "max_frames": max_frames, "strict": strict},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

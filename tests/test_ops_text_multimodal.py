@@ -76,3 +76,43 @@ def test_media_strict_mode_raises():
     ex = multimodal.MediaFeatureExtractor(strict=True)
     with pytest.raises(NotImplementedError):
         ex(tbl.to_pandas())
+
+
+def test_media_resize_and_frame_sampling():
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import multimodal
+
+    tbl = multimodal.generate_fake_media(128, seed=5)
+    ds = ray.data.from_arrow(tbl)
+
+    resized = multimodal.resize_images(ds, 64, 64, concurrency=(1, 2)).to_pandas()
+    img = resized[resized["media_type"].str.startswith("image/")]
+    assert (img["width"] == 64).all() and (img["height"] == 64).all()
+    assert img["payload"].map(len).eq(64 * 64 // 64).all()
+    vid = resized[resized["media_type"] == "video/mp4"]
+    src = tbl.to_pandas().set_index("media_id")
+    for r in vid.itertuples():  # non-image rows untouched
+        assert r.payload == src.loc[r.media_id, "payload"]
+
+    frames = multimodal.sample_frames(ds, fps=2.0, max_frames=16, concurrency=(1, 2)).to_pandas()
+    assert set(frames["media_id"]) == set(src[src["media_type"] == "video/mp4"].index)
+    for mid, g in frames.groupby("media_id"):
+        want = min(16, max(1, math.ceil(src.loc[mid, "duration_s"] * 2.0)))
+        assert len(g) == want
+        assert sorted(g["frame_idx"]) == list(range(want))
+        assert np.allclose(np.sort(g["frame_ts_s"]), np.arange(want) / 2.0)
+
+
+def test_media_resize_strict_raises():
+    import pytest
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import multimodal
+
+    ds = ray.data.from_arrow(multimodal.generate_fake_media(8, seed=5))
+    with pytest.raises(Exception):
+        multimodal.resize_images(ds, 32, 32, strict=True).to_pandas()
