@@ -21,7 +21,6 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from . import hashing
 
 
 def per_key_counts_salted(
@@ -37,18 +36,14 @@ def per_key_counts_salted(
         # local combine first: one row per key per batch
         g = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
         g = g.rename_columns([key, "n"])
-        # bounded deterministic salt per partial row
-        salt = pc.cast(
-            pc.bit_wise_and(
-                pa.array(
-                    hashing.mix(
-                        hashing.hash_strings(pd.Series(g[key].to_pylist()).astype(str))
-                    )
-                ),
-                np.uint64(n_salts - 1),
-            ),
-            pa.int32(),
-        )
+        # Salt must VARY across a key's partials or the first shuffle
+        # still funnels every partial of a hot key to one reducer (a
+        # key-hash salt is a no-op — each key always lands in the same
+        # bucket). Position within the batch's partial table differs
+        # across batches, so a hot key's per-batch partials spread over
+        # the salt range; final sums are associative, so the choice of
+        # salt never affects output values.
+        salt = pa.array((np.arange(len(g)) % n_salts).astype(np.int32))
         return g.append_column("salt", salt)
 
     salted = ds.map_batches(partial_with_salt, batch_format="pyarrow")
