@@ -145,3 +145,13 @@ def test_shoutcast_format():
     assert t["method"].to_pylist()[0] is None  # shoutcast has no method field
     import datetime as dt
     assert t["log_ts"].to_pylist()[0] == dt.datetime(2024, 1, 12, 10, 0, 0)
+
+
+def test_empty_batch_through_all_kernels():
+    from matomo_log_analytics_ray.stages import enrich
+
+    empty = schemas.TRANSCRIPTS.empty_table()
+    t = classify.classify_batch(parse.parse_batch(empty))
+    assert t.num_rows == 0
+    r = enrich.resolve_sinks_arrow(t, enrich.DEFAULT_TOOL_SINKS)
+    assert r.num_rows == 0 and "sink" in r.schema.names
