@@ -139,6 +139,68 @@ def main() -> None:
         )
         return
 
+    if "--ops" in sys.argv:
+        # training-data operator throughputs at 100k-doc scale
+        _init_ray(num_cpus)
+        import ray
+        import ray.data
+
+        from matomo_log_analytics_ray import datagen
+        from matomo_log_analytics_ray.ops import dedup, textstats
+
+        n_docs = int(os.environ.get("MLA_OPS_DOCS", "100000"))
+        dpath = datagen.documents_path(n_docs)
+        _warm(dpath)
+        out = {}
+
+        def timed(name, fn):
+            fn()  # warm
+            t0 = time.monotonic()
+            fn()
+            out[name] = round(time.monotonic() - t0, 3)
+
+        def rd():
+            return ray.data.read_parquet(dpath)
+
+        timed("exact_dedup", lambda: dedup.exact_dedup_keep_ids(rd()).count())
+        timed("minhash_lsh", lambda: dedup.minhash_lsh_candidates(rd()).count())
+        timed("simhash", lambda: dedup.simhash_candidates(rd()).count())
+        timed(
+            "token_count",
+            lambda: rd()
+            .map_batches(textstats.token_count_batch, batch_format="pandas")
+            .count(),
+        )
+        timed(
+            "langid",
+            lambda: rd()
+            .map_batches(textstats.langid_batch, batch_format="pandas")
+            .count(),
+        )
+        timed(
+            "fingerprint",
+            lambda: rd()
+            .map_batches(textstats.fingerprint_batch, batch_format="pandas")
+            .count(),
+        )
+        docs_per_sec = {k: round(n_docs / v) for k, v in out.items()}
+        import ray as _r
+
+        _r.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "training-data op throughput",
+                    "unit": "sec",
+                    "n_docs": n_docs,
+                    "queries": out,
+                    "docs_per_sec": docs_per_sec,
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        return
+
     if "--scaling-worker" in sys.argv:
         _init_ray(num_cpus)
         path = _bench_transcripts_path(bench_turns)

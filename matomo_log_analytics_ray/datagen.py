@@ -380,6 +380,51 @@ def media_path(n: int = 512, seed: int = 42) -> str:
     return path
 
 
+def generate_documents(n: int, seed: int = 42, dup_rate: float = 0.05) -> pa.Table:
+    """Deterministic document corpus for the training-data op benches:
+    20-60-word prose docs with a ``dup_rate`` slice of exact duplicates
+    and a near-dup slice (one word changed)."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(20, 60, size=n)
+    total = int(lens.sum())
+    # 10k-word Zipf vocabulary: a realistic fingerprint/shingle space.
+    # (A tiny vocab makes every simhash chunk collide -> quadratic pair
+    # explosion that no bucketing can bound.)
+    vocab = np.array([f"w{i:04d}" for i in range(10_000)], dtype=object)
+    zipf = 1.0 / np.arange(1, len(vocab) + 1)
+    zipf /= zipf.sum()
+    words = vocab[rng.choice(len(vocab), size=total, p=zipf)]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = np.array(
+        [" ".join(words[offs[i] : offs[i + 1]]) for i in range(n)], dtype=object
+    )
+    n_dup = int(n * dup_rate)
+    if n_dup:
+        src = rng.integers(0, n - n_dup, size=n_dup)
+        texts[n - n_dup :] = texts[src]  # exact dups
+        near = rng.integers(0, n - n_dup, size=n_dup // 2)
+        for j, s in enumerate(near):  # near dups: one word swapped
+            toks = texts[s].split()
+            toks[len(toks) // 2] = "swapped"
+            texts[(n - n_dup) // 2 + j] = " ".join(toks)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+
+
+def documents_path(n: int = 100_000, seed: int = 42) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"documents_v2_{n}_seed{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_documents(n, seed=seed), tmp, row_group_size=max(4096, n // 16))
+        os.replace(tmp, path)
+    return path
+
+
 def generate_summaries(n: int = 200, seed: int = 42) -> pa.Table:
     """Deterministic import-summary documents (M12 fixture): every doc
     carries all eight counter labels plus 'total time', interleaved with

@@ -70,14 +70,12 @@ def first_token_key(text: pd.Series) -> pd.Series:
 def exact_dedup_keep_ids(
     docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
 ) -> "ray.data.Dataset":
-    """One kept id per distinct text: hash-partition on the content
-    hash, keep min(id) per group. Only (hash, id) pairs shuffle."""
-    return (
-        docs.map_batches(_content_hash_batch(id_col, text_col), batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
-    )
+    """One kept id per distinct text: range-partition on (content hash,
+    id), keep the first id of each hash run. Only (hash, id) pairs
+    shuffle; min-per-group via sorted runs instead of Ray's aggregate
+    (per-group Python cost dominates at ~distinct-text cardinality)."""
+    rows = docs.map_batches(_content_hash_batch(id_col, text_col), batch_format="pandas")
+    return sorted_group_first(rows, ["content_hash"], id_col).select_columns([id_col])
 
 
 def exact_dup_groups(
@@ -160,6 +158,223 @@ def _pairs_from_bucket(id_col: str, max_bucket: int = 64):
     return fn
 
 
+def _ids_to_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    ids = ids[:max_bucket]
+    a, b = np.triu_indices(len(ids), k=1)
+    return ids[a], ids[b]
+
+
+def bucket_pairs(
+    rows: "ray.data.Dataset",
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = 64,
+) -> "ray.data.Dataset":
+    """All (id_a < id_b) pairs sharing a bucket — WITHOUT map_groups.
+
+    ``groupby().map_groups`` pays ~1 ms of Ray overhead per group;
+    LSH bucketing makes O(n_docs) near-singleton groups, so that path
+    measured 7.5 min for 100k docs. Here the rows are range-sorted by
+    (bucket, id) once, then each sorted block emits pairs for its
+    INTERIOR runs with plain numpy; the first/last run of every block
+    may straddle a boundary, so those rows are passed through as edge
+    rows and paired in one final single-block pass (a few runs per
+    block — tiny). Results are identical and deterministic regardless
+    of block boundaries: every bucket is either fully interior to one
+    block or fully covered by the edge pass.
+    """
+    sorted_ds = rows.sort(bucket_cols + [id_col])
+
+    def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {"kind": pd.Series([], dtype=object), "id_a": [], "id_b": [],
+                 **{c: pd.Series([], dtype=b[c].dtype) for c in bucket_cols}}
+            )
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in bucket_cols:
+            v = b[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(change) - 1
+        last = run_id[-1]
+        edge_mask = (run_id == 0) | (run_id == last)
+        ids = b[id_col].to_numpy()
+        out_a, out_b = [], []
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for r in range(1, last):  # interior runs only
+            s, e = starts[r], ends[r]
+            if e - s >= 2:
+                a, bb = _ids_to_pairs(ids[s:e], max_bucket)
+                out_a.append(a)
+                out_b.append(bb)
+        pa_ids = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        pb_ids = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        pairs = pd.DataFrame({"kind": "pair", "id_a": pa_ids, "id_b": pb_ids})
+        for c in bucket_cols:
+            pairs[c] = b[c].iloc[0]  # placeholder; unused for pairs
+        edges = b.loc[edge_mask, bucket_cols].copy()
+        edges["kind"] = "edge"
+        edges["id_a"] = ids[edge_mask]
+        edges["id_b"] = ids[edge_mask]
+        return pd.concat([pairs, edges[pairs.columns]], ignore_index=True)
+
+    # materialize so the pair and edge branches don't re-run the sort
+    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+
+    pairs = tagged.map_batches(
+        lambda b: b[b["kind"] == "pair"][["id_a", "id_b"]], batch_format="pandas"
+    )
+
+    def edge_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in b.groupby(bucket_cols, sort=False):
+            ids = np.unique(g["id_a"].to_numpy())
+            if len(ids) >= 2:
+                a, bb = _ids_to_pairs(ids, max_bucket)
+                out_a.append(a)
+                out_b.append(bb)
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    # ONLY the edge rows (a few runs per block) coalesce to one task;
+    # the bulk pair stream never funnels through a single partition
+    edges = (
+        tagged.map_batches(
+            lambda b: b[b["kind"] == "edge"][["id_a", *bucket_cols]],
+            batch_format="pandas",
+        )
+        .repartition(1)
+        .map_batches(edge_pairs, batch_format="pandas")
+    )
+    return pairs.union(edges)
+
+
+def sorted_group_counts(
+    rows: "ray.data.Dataset", key_cols: list[str], alias: str = "n"
+) -> "ray.data.Dataset":
+    """groupby(key_cols).count() for HIGH-CARDINALITY keys, via sort +
+    vectorized run counting instead of Ray's aggregate.
+
+    Ray's sort-based groupby aggregate pays per-group Python cost —
+    measured 454 s for ~3.5M distinct pair keys, where this path takes
+    seconds. Same interior/edge discipline as bucket_pairs: interior
+    runs of each sorted block collapse to (key, run_length) with numpy;
+    the first/last run of every block may straddle a boundary and is
+    re-counted in one final tiny pass."""
+    sorted_ds = rows.sort(key_cols)
+
+    def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
+            out[alias] = pd.Series([], dtype="int64")
+            out["kind"] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            v = b[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(change) - 1
+        last = run_id[-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
+        rows_out = b.iloc[starts[interior]][key_cols].copy()
+        rows_out[alias] = (ends - starts)[interior].astype("int64")
+        rows_out["kind"] = "done"
+        edge_mask = (run_id == 0) | (run_id == last)
+        edges = b.loc[edge_mask, key_cols].copy()
+        edges[alias] = 1
+        edges["kind"] = "edge"
+        return pd.concat([rows_out, edges], ignore_index=True)
+
+    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    done = tagged.map_batches(
+        lambda b: b[b["kind"] == "done"][[*key_cols, alias]], batch_format="pandas"
+    )
+
+    def edge_counts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
+            out[alias] = pd.Series([], dtype="int64")
+            return pd.DataFrame(out)
+        g = b.groupby(key_cols, as_index=False, sort=False).size()
+        g = g.rename(columns={"size": alias})
+        g[alias] = g[alias].astype("int64")
+        return g
+
+    edges = (
+        tagged.map_batches(
+            lambda b: b[b["kind"] == "edge"][key_cols], batch_format="pandas"
+        )
+        .repartition(1)
+        .map_batches(edge_counts, batch_format="pandas")
+    )
+    return done.union(edges)
+
+
+def sorted_group_first(
+    rows: "ray.data.Dataset", key_cols: list[str], val_col: str
+) -> "ray.data.Dataset":
+    """min(val) per key for HIGH-CARDINALITY keys: sort by (key, val)
+    then take the first row of each run (same interior/edge discipline
+    as sorted_group_counts)."""
+    sorted_ds = rows.sort(key_cols + [val_col])
+
+    def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            out = b[[*key_cols, val_col]].copy()
+            out["kind"] = pd.Series([], dtype=object)
+            return out
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            v = b[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(change) - 1
+        last = run_id[-1]
+        starts = np.flatnonzero(change)
+        interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
+        firsts = b.iloc[starts[interior]][[*key_cols, val_col]].copy()
+        firsts["kind"] = "done"
+        edge_mask = (run_id == 0) | (run_id == last)
+        edges = b.loc[edge_mask, [*key_cols, val_col]].copy()
+        edges["kind"] = "edge"
+        return pd.concat([firsts, edges], ignore_index=True)
+
+    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    done = tagged.map_batches(
+        lambda b: b[b["kind"] == "done"][[*key_cols, val_col]], batch_format="pandas"
+    )
+
+    def edge_first(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[[*key_cols, val_col]].copy()
+        return (
+            b.sort_values([*key_cols, val_col])
+            .groupby(key_cols, as_index=False, sort=False)
+            .first()[[*key_cols, val_col]]
+        )
+
+    edges = (
+        tagged.map_batches(
+            lambda b: b[b["kind"] == "edge"][[*key_cols, val_col]],
+            batch_format="pandas",
+        )
+        .repartition(1)
+        .map_batches(edge_first, batch_format="pandas")
+    )
+    return done.union(edges)
+
+
 def minhash_lsh_candidates(
     docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> "ray.data.Dataset":
@@ -168,13 +383,10 @@ def minhash_lsh_candidates(
         lambda b: minhash_signature_batch(b, id_col, text_col, k),
         batch_format="pandas",
     )
-    pairs = (
-        sigs.map_batches(_band_rows(id_col), batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_bucket(id_col), batch_format="pandas")
-    )
-    # a pair can surface from several bands -> distinct
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    rows = sigs.map_batches(_band_rows(id_col), batch_format="pandas")
+    pairs = bucket_pairs(rows, ["band", "band_hash"], id_col)
+    # a pair can surface from several bands -> sorted run-count distinct
+    return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_bands")
 
 
 def estimate_jaccard_pairs(
@@ -247,12 +459,9 @@ def simhash_candidates(
             }
         )
 
-    pairs = (
-        fps.map_batches(chunk_rows, batch_format="pandas")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(_pairs_from_bucket(id_col), batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_chunks"))
+    rows = fps.map_batches(chunk_rows, batch_format="pandas")
+    pairs = bucket_pairs(rows, ["chunk", "chunk_val"], id_col)
+    return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_chunks")
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -92,3 +92,27 @@ def test_ngram_jaccard_verify():
     assert 0.5 < j13 < 1.0
     assert j14 < 0.1
     assert out["is_dup"].tolist() == [True, True, False]
+
+
+def test_sorted_group_counts_and_first_match_pandas():
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 3000, 50_000), "v": rng.integers(0, 10**6, 50_000)}
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got_n = (
+        dedup.sorted_group_counts(ds, ["k"], "n").to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    want_n = df.groupby("k", as_index=False).size().rename(columns={"size": "n"})
+    want_n["n"] = want_n["n"].astype("int64")
+    assert got_n.equals(want_n.sort_values("k").reset_index(drop=True))
+    got_f = (
+        dedup.sorted_group_first(ds, ["k"], "v").to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    want_f = df.groupby("k", as_index=False)["v"].min()
+    assert got_f.equals(want_f.sort_values("k").reset_index(drop=True))
