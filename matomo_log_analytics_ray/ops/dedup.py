@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from . import hashing
 
