@@ -116,3 +116,32 @@ def test_sorted_group_counts_and_first_match_pandas():
     )
     want_f = df.groupby("k", as_index=False)["v"].min()
     assert got_f.equals(want_f.sort_values("k").reset_index(drop=True))
+
+
+def test_run_reduction_invariant_to_partitioning():
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    # heavy-tailed bucket sizes so some runs span whole blocks
+    bucket = rng.zipf(1.5, size=20_000) % 500
+    df = pd.DataFrame({"bkt": bucket, "doc_id": np.arange(20_000, dtype=np.int64)})
+    results = []
+    for parts in (1, 3, 16):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        p = (
+            dedup.bucket_pairs(ds, ["bkt"], "doc_id", max_bucket=32)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        results.append(p)
+    assert results[0].equals(results[1]) and results[1].equals(results[2])
+    # and counts likewise
+    counts = []
+    for parts in (1, 3, 16):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        c = (
+            dedup.sorted_group_counts(ds, ["bkt"], "n")
+            .to_pandas().sort_values("bkt").reset_index(drop=True)
+        )
+        counts.append(c[["bkt", "n"]])
+    assert counts[0].equals(counts[1]) and counts[1].equals(counts[2])
