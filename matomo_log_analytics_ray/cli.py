@@ -88,6 +88,12 @@ def cmd_discover(args) -> int:
     if "update_table_date_status" in modes:
         import pandas as pd
 
+        if not os.path.exists(manifest_path):
+            print(
+                f"error: {manifest_path} not found — run with "
+                "--execution_mode update_table_log_file first to build the manifest"
+            )
+            return 1
         rollup_path = os.path.join(args.out, "date_status.parquet")
         existing_rollup = (
             pd.read_parquet(rollup_path) if os.path.exists(rollup_path) else None

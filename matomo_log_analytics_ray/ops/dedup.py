@@ -178,10 +178,16 @@ def bucket_pairs(
     (bucket, id) once, then each sorted block emits pairs for its
     INTERIOR runs with plain numpy; the first/last run of every block
     may straddle a boundary, so those rows are passed through as edge
-    rows and paired in one final single-block pass (a few runs per
-    block — tiny). Results are identical and deterministic regardless
-    of block boundaries: every bucket is either fully interior to one
-    block or fully covered by the edge pass.
+    rows and paired in one final single-block pass. Edge rows are
+    PRE-REDUCED per block — each edge run forwards at most
+    ``max_bucket`` distinct ids — so the merge task sees
+    O(blocks x max_bucket) rows even when one hot bucket spans entire
+    blocks (ids are globally sorted, so the union of per-block
+    prefixes always contains the bucket's smallest ``max_bucket`` ids,
+    the same set a global truncation would keep). Results are
+    identical and deterministic regardless of block boundaries: every
+    bucket is either fully interior to one block or fully covered by
+    the edge pass.
     """
     sorted_ds = rows.sort(bucket_cols + [id_col])
 
@@ -199,7 +205,6 @@ def bucket_pairs(
             change[1:] |= v[1:] != v[:-1]
         run_id = np.cumsum(change) - 1
         last = run_id[-1]
-        edge_mask = (run_id == 0) | (run_id == last)
         ids = b[id_col].to_numpy()
         out_a, out_b = [], []
         starts = np.flatnonzero(change)
@@ -215,10 +220,19 @@ def bucket_pairs(
         pairs = pd.DataFrame({"kind": "pair", "id_a": pa_ids, "id_b": pb_ids})
         for c in bucket_cols:
             pairs[c] = b[c].iloc[0]  # placeholder; unused for pairs
-        edges = b.loc[edge_mask, bucket_cols].copy()
-        edges["kind"] = "edge"
-        edges["id_a"] = ids[edge_mask]
-        edges["id_b"] = ids[edge_mask]
+        # edge pre-reduction: each edge run forwards at most max_bucket
+        # distinct ids (its smallest — the run is id-sorted), bounding
+        # the merge task's input at 2 x max_bucket rows per block
+        edge_frames = []
+        for r in ([0] if last == 0 else [0, last]):
+            s, e = starts[r], ends[r]
+            run_ids = np.unique(ids[s:e])[:max_bucket]
+            ef = pd.DataFrame({"id_a": run_ids, "id_b": run_ids})
+            ef["kind"] = "edge"
+            for c in bucket_cols:
+                ef[c] = b[c].iloc[s]
+            edge_frames.append(ef)
+        edges = pd.concat(edge_frames, ignore_index=True)
         return pd.concat([pairs, edges[pairs.columns]], ignore_index=True)
 
     # materialize so the pair and edge branches don't re-run the sort
@@ -266,7 +280,9 @@ def sorted_group_counts(
     seconds. Same interior/edge discipline as bucket_pairs: interior
     runs of each sorted block collapse to (key, run_length) with numpy;
     the first/last run of every block may straddle a boundary and is
-    re-counted in one final tiny pass."""
+    forwarded as a PRE-REDUCED (key, partial_count) row — at most two
+    rows per block, so the final merge pass sees O(blocks) rows even
+    when one hot key spans entire blocks."""
     sorted_ds = rows.sort(key_cols)
 
     def block_fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -289,9 +305,12 @@ def sorted_group_counts(
         rows_out = b.iloc[starts[interior]][key_cols].copy()
         rows_out[alias] = (ends - starts)[interior].astype("int64")
         rows_out["kind"] = "done"
-        edge_mask = (run_id == 0) | (run_id == last)
-        edges = b.loc[edge_mask, key_cols].copy()
-        edges[alias] = 1
+        # edge pre-reduction: one (key, partial_count) row per edge run
+        edge_runs = [0] if last == 0 else [0, last]
+        edges = b.iloc[[starts[r] for r in edge_runs]][key_cols].copy()
+        edges[alias] = np.asarray(
+            [ends[r] - starts[r] for r in edge_runs], dtype="int64"
+        )
         edges["kind"] = "edge"
         return pd.concat([rows_out, edges], ignore_index=True)
 
@@ -305,14 +324,14 @@ def sorted_group_counts(
             out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
             out[alias] = pd.Series([], dtype="int64")
             return pd.DataFrame(out)
-        g = b.groupby(key_cols, as_index=False, sort=False).size()
-        g = g.rename(columns={"size": alias})
+        g = b.groupby(key_cols, as_index=False, sort=False)[alias].sum()
         g[alias] = g[alias].astype("int64")
         return g
 
     edges = (
         tagged.map_batches(
-            lambda b: b[b["kind"] == "edge"][key_cols], batch_format="pandas"
+            lambda b: b[b["kind"] == "edge"][[*key_cols, alias]],
+            batch_format="pandas",
         )
         .repartition(1)
         .map_batches(edge_counts, batch_format="pandas")
@@ -345,8 +364,11 @@ def sorted_group_first(
         interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
         firsts = b.iloc[starts[interior]][[*key_cols, val_col]].copy()
         firsts["kind"] = "done"
-        edge_mask = (run_id == 0) | (run_id == last)
-        edges = b.loc[edge_mask, [*key_cols, val_col]].copy()
+        # edge pre-reduction: the block is sorted by (key, val), so the
+        # first row of each edge run already carries that key's min val
+        # within this block — forward just those (<= 2 rows per block)
+        edge_runs = [0] if last == 0 else [0, last]
+        edges = b.iloc[[starts[r] for r in edge_runs]][[*key_cols, val_col]].copy()
         edges["kind"] = "edge"
         return pd.concat([firsts, edges], ignore_index=True)
 

@@ -56,7 +56,12 @@ def build_pipeline(
             # the routed sink scales with task count x sinks), and
             # read+parse fuse per shard instead of Ray's finer auto-split
             n_files = len([f for f in os.listdir(source) if f.endswith(".parquet")])
-            ds = ray.data.read_parquet(source, override_num_blocks=max(1, n_files))
+            if n_files > 0:
+                ds = ray.data.read_parquet(source, override_num_blocks=n_files)
+            else:
+                # hive-partitioned layouts keep files in subdirectories;
+                # let Ray pick its own split rather than clamping to 1 block
+                ds = ray.data.read_parquet(source)
         else:
             ds = ray.data.read_parquet(source)
 

@@ -100,7 +100,9 @@ def run_load_logs(
 
     in_queue = manifest["path"].isin(set(queue["path"]))
     proposed = manifest["status"].copy()
-    proposed[in_queue] = manifest.loc[in_queue, "path"].map(proposed_status)
+    proposed[in_queue] = (
+        manifest.loc[in_queue, "path"].map(proposed_status).astype(proposed.dtype)
+    )
     manifest["status"] = status.merge_file_status(manifest["status"], proposed)
 
     # 5. per-date completeness rollup (A1/A2 via the piecewise table)

@@ -68,8 +68,11 @@ RE_CLOUDFRONT = (
 # AWS classic ELB access log: ISO ts, elb name, client:port, backend:port,
 # three latencies, elb+backend status, received/sent bytes, quoted request,
 # quoted UA, cipher, protocol.
+# Leading timestamp constrained to start with a digit so the starts_digit
+# premask in parse_batch is a provable NECESSARY condition of the match
+# (real ELB timestamps are ISO-8601 and always digit-led).
 RE_ELB = (
-    r'^(?:\S+Z) (?:\S+) (?P<ip>[\d.]+):\d+ [\d.]+:\d+ '
+    r'^(?:\d\S*Z) (?:\S+) (?P<ip>[\d.]+):\d+ [\d.]+:\d+ '
     r'[\d.+-]+ [\d.+-]+ [\d.+-]+ (?P<status>\d{3}) \d{3} \d+ (?P<bytes>\d+) '
     r'"(?P<method>\S+) (?P<path>\S+)[^"]*" "(?P<agent>[^"]*)" \S+ \S+$'
 )
