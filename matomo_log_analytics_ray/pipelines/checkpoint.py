@@ -32,7 +32,6 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
@@ -97,21 +96,25 @@ class ProcessPartition:
         tbl = self.resolver(tbl)
 
         # Per-sink deterministic write: out/sink=<k>/part-<pid>.parquet
-        sinks = tbl["sink"].to_pylist()
-        df_idx = pd.Series(sinks)
+        # (pure-Arrow split: unique + mask filter, no Python row lists)
+        import pyarrow.compute as pc
+
+        sink_col = tbl["sink"]
         sink_counts: dict[str, int] = {}
-        for sink, idx in df_idx.groupby(df_idx).groups.items():
-            sub = tbl.take(pa.array(idx.to_numpy()))
-            sink_dir = os.path.join(self.out_dir, f"sink={sink}")
+        for sink in pc.unique(sink_col):
+            sub = tbl.filter(pc.equal(sink_col, sink))
+            sink_dir = os.path.join(self.out_dir, f"sink={sink.as_py()}")
             os.makedirs(sink_dir, exist_ok=True)
             dest = os.path.join(sink_dir, f"part-{pid}.parquet")
             tmp = dest + ".tmp"
             pq.write_table(sub.drop_columns(["sink"]), tmp)
             os.replace(tmp, dest)
-            sink_counts[str(sink)] = len(sub)
+            sink_counts[str(sink.as_py())] = len(sub)
 
-        outcomes = pd.Series(tbl["outcome"].to_pylist())
-        outcome_counts = outcomes.value_counts().to_dict()
+        vc = pc.value_counts(tbl["outcome"])
+        outcome_counts = {
+            str(v["values"]): int(v["counts"]) for v in vc.to_pylist()
+        }
         rec = {
             "partition_id": pid,
             "path": path,

@@ -94,12 +94,14 @@ def run_flagship(
     tool_sinks: Optional[dict] = None,
 ) -> dict:
     """Execute end-to-end; returns {'sink_counts': DataFrame,
-    'counters': dict}. When ``out_dir`` is given, routed rows are also
-    written as per-sink partitioned parquet (separate consumption of the
-    same lazy graph)."""
+    'counters': dict}. When ``out_dir`` is given, routed rows are
+    written as per-sink partitioned parquet and the counters are derived
+    from the SAME single consumption of the lazy graph (each write task
+    also emits its batch's partial counts — one scan, not two)."""
     ds = build_pipeline(source, tool_sinks=tool_sinks)
     if out_dir is not None:
-        route.write_routed(ds, out_dir)
-    sink_counts: pd.DataFrame = aggregate.sink_outcome_counts(ds)
+        sink_counts: pd.DataFrame = route.write_routed_with_counts(ds, out_dir)
+    else:
+        sink_counts = aggregate.sink_outcome_counts(ds)
     counters = aggregate.global_counters(sink_counts)
     return {"sink_counts": sink_counts, "counters": counters}

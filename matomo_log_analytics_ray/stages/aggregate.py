@@ -61,7 +61,12 @@ def sink_outcome_counts(
         partials = partials.repartition(fanin).map_batches(
             combine_partial_counts, batch_format="pyarrow"
         )
-    df = partials.to_pandas()
+    return merge_partial_counts(partials.to_pandas())
+
+
+def merge_partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side merge of streamed (sink, outcome, n, total_bytes)
+    partial rows into the final counter table."""
     out = df.groupby(["sink", "outcome"], as_index=False, sort=True).agg(
         n=("n", "sum"), total_bytes=("total_bytes", "sum")
     )

@@ -13,6 +13,11 @@ rows — this is what keeps exact count equality under Ray task retries.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
+import pandas as pd
+
 import ray.data
 from ray.data.datasource import FilenameProvider
 
@@ -54,3 +59,65 @@ def write_routed(
         # replaces its own file rather than appending a duplicate
         mode="overwrite",
     )
+
+
+def _make_write_and_count(out_dir: str):
+    """Batch fn: write this batch's rows per-sink AND return the batch's
+    (sink, outcome, n, total_bytes) partial counters — the single-pass
+    fusion of K6 (fan-out recorder) and A7 (Statistics counters).
+
+    Filenames are content-derived (hash of the batch's first/last
+    (conv_id, turn_idx) plus row count): Ray Data blocks have
+    deterministic lineage, so a retried task re-derives the same name
+    and overwrites its own file instead of appending a duplicate —
+    the same idempotency contract as DeterministicFilenames.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import aggregate
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return aggregate.partial_outcome_counts(batch)
+        key_src = "|".join(
+            str(batch[c][i].as_py())
+            for c in ("conv_id", "turn_idx")
+            for i in (0, len(batch) - 1)
+        ) + f"|{len(batch)}"
+        part = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+        for s in pc.unique(batch["sink"]):
+            sub = batch.filter(pc.equal(batch["sink"], s))
+            sink_dir = os.path.join(out_dir, f"sink={s.as_py()}")
+            os.makedirs(sink_dir, exist_ok=True)
+            dest = os.path.join(sink_dir, f"part-{part}.parquet")
+            tmp = dest + ".tmp"
+            pq.write_table(sub.drop_columns(["sink"]), tmp)
+            os.replace(tmp, dest)
+        return aggregate.partial_outcome_counts(batch)
+
+    return fn
+
+
+def write_routed_with_counts(
+    enriched: "ray.data.Dataset", out_dir: str
+) -> "pd.DataFrame":
+    """Single-pass routed write + counter rollup: ONE consumption of the
+    lazy graph writes out/sink=<k>/part-*.parquet and streams per-batch
+    (sink, outcome) partials to the driver, which merges them into the
+    same table aggregate.sink_outcome_counts would produce. At 100 TB
+    this halves the scan+parse cost vs writing and aggregating as two
+    separate consumptions of the pipeline.
+    """
+    import shutil
+
+    from . import aggregate
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)  # overwrite semantics, like write_parquet
+    os.makedirs(out_dir, exist_ok=True)
+    partials = enriched.map_batches(
+        _make_write_and_count(out_dir), batch_format="pyarrow"
+    )
+    return aggregate.merge_partial_counts(partials.to_pandas())

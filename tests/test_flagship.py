@@ -127,3 +127,44 @@ def test_colocated_write_same_rows_fewer_files(tmp_path):
     con = duckdb.connect()
     q = "SELECT conv_id, turn_idx FROM read_parquet('{}/sink=*/*.parquet', hive_partitioning=1) ORDER BY 1, 2"
     assert con.execute(q.format(out_a)).df().equals(con.execute(q.format(out_b)).df())
+
+
+def test_single_pass_write_and_counts(tmp_path):
+    """write_routed_with_counts: ONE consumption writes the routed files
+    AND yields the same counter table as a separate aggregate pass; the
+    written files round-trip to the same per-sink row counts; rerunning
+    into the same out_dir leaves an identical file list (idempotent)."""
+    import glob
+
+    import duckdb
+
+    from matomo_log_analytics_ray.stages import route
+
+    path = _small_path()
+    out_dir = str(tmp_path / "routed")
+    ds = flagship.build_pipeline(path)
+    counts = route.write_routed_with_counts(ds, out_dir)
+
+    ds2 = flagship.build_pipeline(path)
+    want = aggregate.sink_outcome_counts(ds2)
+    pd.testing.assert_frame_equal(
+        counts.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    on_disk = con.execute(
+        f"SELECT sink, CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"read_parquet('{out_dir}/sink=*/*.parquet', hive_partitioning=1) "
+        f"GROUP BY sink ORDER BY sink"
+    ).df()
+    from_counts = (
+        counts.groupby("sink", as_index=False)["n"].sum().sort_values("sink")
+    )
+    assert on_disk["sink"].tolist() == from_counts["sink"].tolist()
+    assert on_disk["n"].astype(int).tolist() == from_counts["n"].astype(int).tolist()
+
+    files_before = sorted(glob.glob(out_dir + "/sink=*/*.parquet"))
+    ds3 = flagship.build_pipeline(path)
+    route.write_routed_with_counts(ds3, out_dir)
+    files_after = sorted(glob.glob(out_dir + "/sink=*/*.parquet"))
+    assert files_before == files_after
