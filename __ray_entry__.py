@@ -543,34 +543,17 @@ def _q_join_orders_customer(sf_dir: str):
 
 def _q_sessionize_events(sf_dir: str):
     """Streaming-shaped sessionization: per-user event stream split at
-    >30-minute gaps; one row per session. groupby(user).map_groups over
-    ts-sorted groups (the guide's window recipe); partitioning
-    assumption: one user's events fit one group."""
-    import pandas as pd
+    >30-minute gaps; one row per session. Sort-by-(user, ts) + per-block
+    vectorized run reduction (ops/sessionize.py) — no map_groups, so no
+    per-group Ray overhead at high user cardinality."""
     import ray.data
 
-    GAP_US = 30 * 60 * 1_000_000
+    from matomo_log_analytics_ray.ops import sessionize
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds().mul(1_000_000).fillna(0)
-        sid = (gap > GAP_US).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("event_id", "size"),
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        out["session_idx"] = range(len(out))
-        return out.reset_index(drop=True)
-
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-        )
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
+    return sessionize.sessionize(ds)
 
 
 def _q_generic_server_extract(sf_dir: str):
