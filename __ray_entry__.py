@@ -482,7 +482,12 @@ def _q_dedup_embedding_pairs(sf_dir: str):
     from matomo_log_analytics_ray.ops import similarity
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # score column intentionally dropped: inclusion at the 0.4 threshold
+    # EXACT tiled all-pairs (one Ray task per chunk pair; no driver-side
+    # corpus materialization or whole-corpus broadcast). LSH bucketing
+    # cannot gate this threshold: the qualifying pairs sit at cosine
+    # 0.40-0.51 where hyperplane agreement is ~0.63/bit and recall
+    # collapses — the bucketed path is the >=0.9-threshold scale path.
+    # Score column intentionally dropped: inclusion at the 0.4 threshold
     # is engine-stable (closest pair is 1.3e-4 away at sf0.01) but the
     # float value itself is not bit-identical across engines.
     return similarity.embedding_near_dup(ds, threshold=0.4)[["id_a", "id_b"]]

@@ -15,8 +15,6 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import ray
@@ -83,11 +81,21 @@ def brute_force_topk(
         batch_format="pandas",
         concurrency=concurrency,
     ).to_pandas()  # (n_batches x k x nq) rows — small
+    return _merge_topk_partials(partials, k, id_col)
 
+
+def _merge_topk_partials(partials: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Tiny driver-side merge of per-batch partial top-k rows; ties
+    broken by ascending id (the same ORDER BY score DESC, id the SQL
+    oracle uses)."""
+    if partials.empty:
+        return pd.DataFrame(columns=["query_id", id_col, "score", "rank"])
     out = []
-    for qid, g in partials.groupby("query_id"):
-        best = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: r.score)
-        for rank, r in enumerate(best):
+    for qid, g in partials.groupby("query_id", sort=True):
+        best = g.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        for rank, r in enumerate(best.itertuples(index=False)):
             out.append((qid, getattr(r, id_col), float(r.score), rank))
     return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
 
@@ -103,6 +111,52 @@ def signature_bits(vectors: np.ndarray, n_bits: int = 8, dim: int | None = None)
     return bits @ weights
 
 
+class MaskedTopKScorer:
+    """map_batches actor for bucketed ANN: each batch scores ONLY the
+    rows allowed for each query (same LSH bucket, or a probed IVF list)
+    against the broadcast query matrix, emitting per-batch partial
+    top-k rows. Nothing but (query_id, id, score) partials ever leave
+    the workers — no candidate materialization on the driver."""
+
+    def __init__(self, payload_ref, k: int, id_col: str, vec_col: str):
+        p = ray.get(payload_ref) if isinstance(payload_ref, ray.ObjectRef) else payload_ref
+        self.kind = p["kind"]
+        self.query_ids = np.asarray(p["query_ids"])
+        self.qmat = p["qmat"]  # already normalized (nq, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        if self.kind == "lsh":
+            self.n_bits = p["n_bits"]
+            self.qsig = np.asarray(p["qsig"])
+        else:  # ivf
+            self.cent = p["cent"]  # (nlist, d) normalized
+            self.membership = p["membership"]  # (nlist, nq) bool
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        raw = np.stack(batch[self.vec_col].to_numpy())
+        ids = batch[self.id_col].to_numpy()
+        vecs = _normalize(raw)
+        if self.kind == "lsh":
+            sig = signature_bits(raw, self.n_bits)
+            allowed = sig[:, None] == self.qsig[None, :]  # (n, nq)
+        else:
+            lists = np.argmax(vecs @ self.cent.T, axis=1)
+            allowed = self.membership[lists]  # (n, nq)
+        if not allowed.any():
+            return pd.DataFrame({"query_id": [], self.id_col: [], "score": []})
+        scores = np.where(allowed, vecs @ self.qmat.T, -np.inf)  # (n, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
+        flat_q = np.repeat(self.query_ids, k)
+        flat_ids = ids[top].T.reshape(-1)
+        flat_sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
+        keep = np.isfinite(flat_sc)
+        return pd.DataFrame(
+            {"query_id": flat_q[keep], self.id_col: flat_ids[keep], "score": flat_sc[keep]}
+        )
+
+
 def lsh_topk(
     corpus: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -111,35 +165,36 @@ def lsh_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
 ) -> pd.DataFrame:
     """Approximate top-k: corpus rows hashed into 2^n_bits buckets; each
-    query scores only its own bucket. Partitioning assumption: bucket
-    skew is bounded because hyperplane signs of roughly-isotropic
-    embeddings are near-uniform; pathological skew needs more bits."""
+    query scores only its own bucket — INSIDE the scan (per-batch
+    partial top-k + tiny merge); no bucket rows are materialized on the
+    driver. Partitioning assumption: bucket skew is bounded because
+    hyperplane signs of roughly-isotropic embeddings are near-uniform;
+    pathological skew needs more bits."""
     qsig = signature_bits(np.asarray(query_vectors), n_bits)
-    wanted = set(qsig.tolist())
-
-    def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(batch[vec_col].to_numpy())
-        sig = signature_bits(vecs, n_bits)
-        keep = np.isin(sig, list(wanted))
-        out = batch.loc[keep, [id_col, vec_col]].copy()
-        out["bucket"] = sig[keep]
-        return out
-
-    candidates = corpus.map_batches(bucket_filter, batch_format="pandas").to_pandas()
-    out = []
-    for qid, qvec, sig in zip(query_ids, np.asarray(query_vectors), qsig):
-        sub = candidates[candidates["bucket"] == sig]
-        if sub.empty:
-            continue
-        mat = _normalize(np.stack(sub[vec_col].to_numpy()))
-        qn = _normalize(qvec[None, :])[0]
-        scores = mat @ qn
-        top = np.argsort(-scores)[:k]
-        for rank, i in enumerate(top):
-            out.append((qid, sub[id_col].iloc[i], float(scores[i]), rank))
-    return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
+    ref = ray.put(
+        {
+            "kind": "lsh",
+            "query_ids": np.asarray(query_ids),
+            "qmat": _normalize(np.asarray(query_vectors)),
+            "qsig": qsig,
+            "n_bits": n_bits,
+        }
+    )
+    partials = corpus.map_batches(
+        MaskedTopKScorer,
+        fn_constructor_kwargs={
+            "payload_ref": ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).to_pandas()
+    return _merge_topk_partials(partials, k, id_col)
 
 
 def kmeans_centroids(
@@ -177,11 +232,14 @@ def ivf_topk(
 
     1. train: k-means centroids on a driver-side sample (limit train_n);
     2. probe: each query selects its nprobe nearest centroids;
-    3. scan: one distributed map_batches pass assigns every corpus row
-       to its nearest centroid and keeps ONLY rows landing in a probed
-       list (the broadcast is just the (nlist, d) centroid matrix);
-    4. score: surviving candidates (a 1/nlist*nprobe fraction of the
-       corpus in expectation) are scored per query driver-side.
+    3. scan+score: one distributed map_batches pass assigns every
+       corpus row to its nearest centroid and scores rows landing in a
+       probed list against the broadcast query matrix, emitting
+       per-batch partial top-k rows (the broadcast is just the
+       (nlist, d) centroid matrix + (nq, d) queries);
+    4. merge: the global top-k is a tiny driver merge over
+       (batches x k x nq) partial rows — the 1/(nlist/nprobe) corpus
+       fraction surviving the filter never leaves the workers.
 
     Partitioning assumption: inverted lists are roughly balanced; a
     pathologically clustered corpus needs more lists (bigger nlist)
@@ -191,33 +249,32 @@ def ivf_topk(
     )
     cent = kmeans_centroids(train, nlist=nlist)
     qmat = _normalize(np.asarray(query_vectors))
-    # (nq, nprobe) probed list ids per query
+    # (nq, nprobe) probed list ids per query -> (nlist, nq) membership
     probed = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
-    wanted = np.unique(probed)
-    cent_ref = ray.put(cent)
-    wanted_set = set(wanted.tolist())
-
-    def assign_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
-        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
-        lists = np.argmax(vecs @ c.T, axis=1)
-        keep = np.isin(lists, list(wanted_set))
-        out = batch.loc[keep, [id_col, vec_col]].copy()
-        out["ivf_list"] = lists[keep]
-        return out
-
-    candidates = corpus.map_batches(assign_filter, batch_format="pandas").to_pandas()
-    out = []
-    for qi, (qid, qvec) in enumerate(zip(query_ids, qmat)):
-        sub = candidates[candidates["ivf_list"].isin(probed[qi])]
-        if sub.empty:
-            continue
-        mat = _normalize(np.stack(sub[vec_col].to_numpy()))
-        scores = mat @ qvec
-        top = np.argsort(-scores)[: min(k, len(scores))]
-        for rank, i in enumerate(top):
-            out.append((qid, sub[id_col].iloc[i], float(scores[i]), rank))
-    return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
+    membership = np.zeros((len(cent), len(qmat)), dtype=bool)
+    for qi in range(len(qmat)):
+        membership[probed[qi], qi] = True
+    ref = ray.put(
+        {
+            "kind": "ivf",
+            "query_ids": np.asarray(query_ids),
+            "qmat": qmat,
+            "cent": cent,
+            "membership": membership,
+        }
+    )
+    partials = corpus.map_batches(
+        MaskedTopKScorer,
+        fn_constructor_kwargs={
+            "payload_ref": ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        concurrency=2,
+    ).to_pandas()
+    return _merge_topk_partials(partials, k, id_col)
 
 
 def embedding_near_dup_bucketed(
@@ -227,19 +284,32 @@ def embedding_near_dup_bucketed(
     band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 256,
+    num_partitions: int = 8,
 ) -> pd.DataFrame:
-    """Distributed near-dup: the scale path that never broadcasts the
-    corpus. Each row is hashed into ``n_bands`` independent
-    random-hyperplane signatures; rows sharing any (band, signature)
-    bucket are candidates, verified with exact cosine inside
-    groupby(bucket).map_groups, then deduplicated across bands.
+    """Approximate distributed near-dup — the scale path for HIGH
+    thresholds. Three stages, none of which broadcasts the corpus or
+    uses map_groups:
 
-    Recall: a pair at cosine >= t agrees on one hyperplane sign with
+    1. band rows: each row hashed into ``n_bands`` independent
+       random-hyperplane signatures — only (band, sig, id) projections
+       shuffle, never vectors;
+    2. candidates: ops.dedup.bucket_pairs sorted-run machinery emits
+       (id_a < id_b) pairs sharing any (band, sig) bucket, then
+       sorted_group_counts deduplicates pairs across bands;
+    3. verify: two hash joins attach the pair's two vectors (only
+       candidate pairs shuffle the embedding payload) and a vectorized
+       map_batches computes exact cosine, keeping pairs >= threshold.
+
+    Recall: a pair at cosine t agrees on one hyperplane sign with
     probability 1 - acos(t)/pi (~0.9 at t=0.95), so P(pair shares at
     least one of 8 8-bit band signatures) ~ 1-(1-0.9^8)^8 ~ 0.98.
+    Near/below t~0.7 that probability collapses and LSH stops pruning
+    — use embedding_near_dup (exact tiled all-pairs) there instead.
     Partitioning assumption: bucket sizes stay bounded for roughly
     isotropic embeddings; raise band_bits if a bucket grows hot.
     """
+    from . import dedup as dedup_ops
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
@@ -251,37 +321,105 @@ def embedding_near_dup_bucketed(
             )
             bits = (vecs @ planes) > 0
             sig = bits @ (1 << np.arange(band_bits)).astype(np.int64)
-            frames.append(
-                pd.DataFrame({"band": band, "sig": sig, id_col: ids, "vec": list(vecs)})
-            )
+            frames.append(pd.DataFrame({"band": band, "sig": sig, id_col: ids}))
         return pd.concat(frames, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    rows = corpus.map_batches(band_rows, batch_format="pandas")
+    cand = dedup_ops.bucket_pairs(rows, ["band", "sig"], id_col, max_bucket=max_bucket)
+    cand = dedup_ops.sorted_group_counts(cand, ["id_a", "id_b"], alias="n_bands")
+    pairs = verify_pairs_cosine(
+        cand.select_columns(["id_a", "id_b"]),
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_partitions=num_partitions,
+    )
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def verify_pairs_cosine(
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+) -> pd.DataFrame:
+    """Distributed exact-cosine verification of candidate (id_a, id_b)
+    pairs: two hash-partitioned joins attach each side's vector, then a
+    vectorized batch kernel computes cosine and filters >= threshold.
+    Only candidate pairs (small by construction) carry vector payloads
+    through the shuffle."""
+    def _renamer(ident: str, emb: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            # vectors packed to float64 bytes: Arrow's hash join rejects
+            # nested/tensor payload columns, binary passes through fine
+            packed = [
+                np.asarray(v, dtype=np.float64).tobytes()
+                for v in b[vec_col].to_numpy()
+            ]
+            return pd.DataFrame({ident: b[id_col], emb: packed})
+
+        return fn
+
+    emb_a = corpus.map_batches(_renamer("id_a", "emb_a"), batch_format="pandas")
+    emb_b = corpus.map_batches(_renamer("id_b", "emb_b"), batch_format="pandas")
+    j = pairs.join(emb_a, "inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(emb_b, "inner", num_partitions=num_partitions, on=("id_b",))
+
+    def cosine_batch(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        mat = np.stack(g["vec"].to_numpy())
-        ids = g[id_col].to_numpy()
-        scores = mat @ mat.T
-        ia, ib = np.where(np.triu(scores >= threshold, k=1))
-        a, b_ = ids[ia], ids[ib]
-        swap = a > b_
-        a2 = np.where(swap, b_, a)
-        b2 = np.where(swap, a, b_)
-        keep = a2 != b2
+        va = _normalize(
+            np.stack([np.frombuffer(v, dtype=np.float64) for v in b["emb_a"]])
+        )
+        vb = _normalize(
+            np.stack([np.frombuffer(v, dtype=np.float64) for v in b["emb_b"]])
+        )
+        cos = np.sum(va * vb, axis=1)
+        keep = cos >= threshold
         return pd.DataFrame(
-            {"id_a": a2[keep], "id_b": b2[keep], "cosine": scores[ia, ib][keep]}
+            {
+                "id_a": b["id_a"].to_numpy()[keep],
+                "id_b": b["id_b"].to_numpy()[keep],
+                "cosine": cos[keep],
+            }
         )
 
-    pairs = (
-        corpus.map_batches(band_rows, batch_format="pandas")
-        .groupby(["band", "sig"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    return (
-        pairs.drop_duplicates(subset=["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    return j.map_batches(cosine_batch, batch_format="pandas").to_pandas()
+
+
+@ray.remote
+def _cosine_tile(
+    block_a, block_b, same: bool, threshold: float, id_col: str, vec_col: str
+):
+    """One tile of the exact all-pairs comparison: pairs >= threshold
+    between two corpus chunks (upper triangle when same chunk)."""
+    import pyarrow as pa
+
+    def unpack(block):
+        if isinstance(block, pa.Table):
+            ids = block[id_col].to_numpy(zero_copy_only=False)
+            mat = np.stack(block[vec_col].to_pandas().to_numpy())
+        else:  # pandas block
+            ids = block[id_col].to_numpy()
+            mat = np.stack(block[vec_col].to_numpy())
+        return ids, _normalize(mat)
+
+    ids_a, mat_a = unpack(block_a)
+    ids_b, mat_b = unpack(block_b)
+    scores = mat_a @ mat_b.T
+    if same:
+        ia, ib = np.where(np.triu(scores >= threshold, k=1))
+    else:
+        ia, ib = np.where(scores >= threshold)
+    a, b = ids_a[ia], ids_b[ib]
+    swap = a > b
+    a2, b2 = np.where(swap, b, a), np.where(swap, a, b)
+    keep = a2 != b2
+    return pd.DataFrame(
+        {"id_a": a2[keep], "id_b": b2[keep], "cosine": scores[ia, ib][keep]}
     )
 
 
@@ -290,34 +428,36 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_chunks: int = 8,
 ) -> pd.DataFrame:
-    """Cosine-threshold near-dup pairs: stream batches against the
-    broadcast (normalized) corpus matrix. The broadcast side must fit a
-    worker's memory — for corpora beyond that, pre-bucket with
-    signature_bits and run per-bucket (documented scale path)."""
-    all_rows = corpus.select_columns([id_col, vec_col]).to_pandas()
-    ids = all_rows[id_col].to_numpy()
-    mat = _normalize(np.stack(all_rows[vec_col].to_numpy()))
-    ref = ray.put((ids, mat))
-
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        bids, bmat = ray.get(ref)
-        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))
-        my_ids = batch[id_col].to_numpy()
-        scores = vecs @ bmat.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(my_ids)):
-            hits = np.where(scores[i] >= threshold)[0]
-            for j in hits:
-                if my_ids[i] < bids[j]:  # dedupe ordered pairs
-                    out_a.append(my_ids[i])
-                    out_b.append(bids[j])
-                    out_s.append(float(scores[i, j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
-
+    """EXACT cosine-threshold near-dup pairs via tiled all-pairs: the
+    corpus is split into ``num_chunks`` object-store chunks and one Ray
+    task per chunk pair (i <= j) fetches just its two chunks and emits
+    qualifying pairs. Per-task memory is bounded by two chunks; the
+    driver holds only chunk refs and the (small) qualifying pairs —
+    the corpus is never materialized or broadcast whole. Exact
+    all-pairs is inherently O(n^2) compute: C(C+1)/2 tiles spread that
+    across the cluster, but for corpora where n^2 is unaffordable use
+    the approximate family (minhash/simhash/``embedding_near_dup_bucketed``)
+    — exactness below LSH-prunable thresholds has no sub-quadratic
+    algorithm."""
+    mat = (
+        corpus.select_columns([id_col, vec_col])
+        .repartition(num_chunks)
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+    tiles = [
+        _cosine_tile.remote(refs[i], refs[j], i == j, threshold, id_col, vec_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    frames = [f for f in ray.get(tiles) if len(f)]
+    if not frames:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     return (
-        corpus.map_batches(score, batch_format="pandas")
-        .to_pandas()
+        pd.concat(frames, ignore_index=True)
+        .drop_duplicates(subset=["id_a", "id_b"])
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
