@@ -655,6 +655,33 @@ def _q_summary_counters(sf_dir: str):
     )
 
 
+def _q_a5_status_resolution(sf_dir: str):
+    """A5: tolerant status / lines_parsed resolution over the summary
+    corpus — the +-1 window, 'lines parsed' fallback line,
+    RETRY_DIFF_LINES subtraction, and FAILED sink, all driver-gated
+    (reference libs/lib_summary.py:56-91)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import summary
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = summary.parse_summaries_batch(b)[
+            ["summary_id", "status", "lines_parsed", "sum_imported_ignored_lines"]
+        ].copy()
+        out["status"] = out["status"].astype("int64")
+        out["lines_parsed"] = out["lines_parsed"].astype("int64")
+        out["sum_imported_ignored_lines"] = out["sum_imported_ignored_lines"].astype(
+            "int64"
+        )
+        return out
+
+    return ray.data.read_parquet(datagen.summaries_path()).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def _q_a2_date_status(sf_dir: str):
     """A1/A2 rollup gate: discover the scl manifest, mark every VALID
     file LOADED (simulating a completed load pass), then roll up
@@ -765,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m7_ven_server_extract": _q_ven_server_extract,
         "m9_name_builders": _q_name_builders,
         "m12_summary_counters": _q_summary_counters,
+        "a5_status_resolution": _q_a5_status_resolution,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -848,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "m5_generic_server_extract": oracle.generic_server_extract_sql(lpath),
         "m7_ven_server_extract": oracle.ven_server_extract_sql(lpath),
         "m12_summary_counters": oracle.summary_counters_sql(spath),
+        "a5_status_resolution": oracle.a5_status_resolution_sql(spath),
         "m9_name_builders": (
             f"""SELECT path,
        regexp_extract(path, '([^/]+)$', 1) AS base,

@@ -431,7 +431,20 @@ def generate_summaries(n: int = 200, seed: int = 42) -> pa.Table:
     noise lines; a slice duplicates counter lines LATER in the document
     (last occurrence wins). Counter lines always carry a number and at
     most one label, so the reversed-scan semantics and the oracle's
-    greedy-last regex provably agree."""
+    greedy-last regex provably agree.
+
+    A5 scenarios (i % 5) exercise every branch of the status /
+    lines_parsed resolution (reference libs/lib_summary.py:56-91):
+      0: expected == imported+ignored -> LOADED via the direct total;
+      1: expected == total + 1 -> LOADED via the +-1 tolerance window;
+      2: expected off, 'lines parsed' line (exactly 4 integers) whose
+         first integer == expected -> LOADED with lines_parsed from it;
+      3: parsed = expected + RETRY_DIFF + 1000 -> PARTIAL with the
+         RETRY_DIFF_LINES safety subtraction;
+      4: parsed tiny (i%10==4) -> FAILED / 0; malformed 3-integer
+         'lines parsed' line (i%10==9) -> FAILED / 0.
+    The 'lines parsed' line carries no counter label and appears once,
+    so counter extraction and the A5 oracle regex stay independent."""
     rng = np.random.default_rng(seed)
     from .control import summary as summod
 
@@ -456,12 +469,50 @@ def generate_summaries(n: int = 200, seed: int = 42) -> pa.Table:
             a = summod.COUNTER_ATTRS[0]
             vals[a] = int(rng.integers(0, 100000))
             lines.append(f"    {vals[a]} {a.replace('_', ' ')}")
+
+        total = vals["requests_imported_successfully"] + vals["requests_ignored"]
+        scen = i % 5
+        if scen == 0:
+            expected = total
+        elif scen == 1:
+            expected = total + 1
+        elif scen == 2:
+            expected = total + 777
+            lines.append(
+                f"    {expected} lines parsed, "
+                f"{int(rng.integers(1, 999))} lines recorded, "
+                f"{int(rng.integers(1, 999))} ok, "
+                f"{int(rng.integers(1, 999))} dropped"
+            )
+        elif scen == 3:
+            expected = total + 777
+            parsed = expected + summod.RETRY_DIFF_LINES + 1000
+            lines.append(
+                f"    {parsed} lines parsed, "
+                f"{int(rng.integers(1, 999))} lines recorded, "
+                f"{int(rng.integers(1, 999))} ok, "
+                f"{int(rng.integers(1, 999))} dropped"
+            )
+        else:
+            expected = total + 777
+            if i % 10 == 4:
+                lines.append(
+                    f"    {int(rng.integers(1, 99))} lines parsed, "
+                    f"{int(rng.integers(1, 999))} lines recorded, "
+                    f"{int(rng.integers(1, 999))} ok, "
+                    f"{int(rng.integers(1, 999))} dropped"
+                )
+            else:
+                lines.append(
+                    f"    {int(rng.integers(1, 99999))} lines parsed, "
+                    f"{int(rng.integers(1, 999))} lines recorded, "
+                    f"{int(rng.integers(1, 999))} ok"
+                )
         docs.append(
             {
                 "summary_id": f"s-{i:04d}",
                 "text": "\n".join(lines),
-                "expected_lines": vals["requests_imported_successfully"]
-                + vals["requests_ignored"],
+                "expected_lines": expected,
             }
         )
     return pa.Table.from_pylist(docs)
@@ -469,7 +520,7 @@ def generate_summaries(n: int = 200, seed: int = 42) -> pa.Table:
 
 def summaries_path(seed: int = 42) -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"summaries_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"summaries_v2_seed{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(generate_summaries(seed=seed), tmp, row_group_size=64)

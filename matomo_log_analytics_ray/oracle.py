@@ -262,6 +262,17 @@ SELECT path, server, log_date,
 FROM d"""
 
 
+def _summary_counter_expr(attr: str) -> str:
+    """Greedy-dotall regex taking the LAST line carrying the counter
+    label followed by a number (equals the engine's reversed scan on
+    the constructed fixture)."""
+    label = attr.replace("_", " ")
+    return (
+        f"COALESCE(CAST(regexp_extract(lower(text), "
+        f"'(?s).*\\n[^\\n0-9]*([0-9]+)[^\\n]*{label}', 1) AS BIGINT), 0)"
+    )
+
+
 def summary_counters_sql(summaries_parquet: str) -> str:
     """M12 oracle: per-counter greedy-dotall regex takes the LAST line
     carrying the label followed by a number on the same line — the
@@ -269,14 +280,7 @@ def summary_counters_sql(summaries_parquet: str) -> str:
     overwrite-until-filled scan (see datagen.generate_summaries)."""
     from .control import summary as summod
 
-    cols = []
-    for attr in summod.COUNTER_ATTRS:
-        label = attr.replace("_", " ")
-        expr = (
-            f"COALESCE(CAST(regexp_extract(lower(text), "
-            f"'(?s).*\\n[^\\n0-9]*([0-9]+)[^\\n]*{label}', 1) AS BIGINT), 0)"
-        )
-        cols.append(f"{expr} AS {attr}")
+    cols = [f"{_summary_counter_expr(attr)} AS {attr}" for attr in summod.COUNTER_ATTRS]
     time_expr = (
         "COALESCE(CAST(regexp_extract(lower(text), "
         "'(?s).*total time[^\\n0-9]*([0-9]+)', 1) AS BIGINT), 0)"
@@ -286,6 +290,48 @@ def summary_counters_sql(summaries_parquet: str) -> str:
         f"SELECT summary_id, {', '.join(cols)} "
         f"FROM read_parquet('{summaries_parquet}')"
     )
+
+
+def a5_status_resolution_sql(summaries_parquet: str) -> str:
+    """A5 oracle: the tolerant status / lines_parsed resolution
+    (reference libs/lib_summary.py:56-91, control/summary.py:77-105) as
+    a SQL CASE chain — the +-1 tolerance window on imported+ignored, the
+    'lines parsed' 4-integer fallback line, the RETRY_DIFF_LINES safety
+    subtraction on partial retries, and the FAILED sink. The fixture
+    carries at most one 'lines parsed' line per doc, so an unanchored
+    first-match extraction equals the engine's reversed last-match scan."""
+    from .control import summary as summod
+
+    retry = summod.RETRY_DIFF_LINES
+    win = "BETWEEN expected_lines - 1 AND expected_lines + 1"
+    return f"""
+WITH base AS (
+    SELECT summary_id, expected_lines,
+        {_summary_counter_expr("requests_imported_successfully")} AS imported,
+        {_summary_counter_expr("requests_ignored")} AS ignored,
+        COALESCE(regexp_extract(lower(text), '\\n([^\\n]*lines parsed[^\\n]*)', 1), '') AS lp_line
+    FROM read_parquet('{summaries_parquet}')
+), d AS (
+    SELECT summary_id, expected_lines, imported + ignored AS total, lp_line,
+        len(regexp_extract_all(lp_line, '[0-9]+')) AS n_nums,
+        COALESCE(CAST(NULLIF(regexp_extract(lp_line, '([0-9]+)', 1), '') AS BIGINT), 0) AS parsed
+    FROM base
+)
+SELECT summary_id,
+    CAST(CASE WHEN total {win} THEN 2
+              WHEN lp_line = '' THEN 0
+              WHEN n_nums <> 4 THEN -1
+              WHEN parsed {win} THEN 2
+              WHEN parsed - {retry} > 0 THEN 1
+              ELSE -1 END AS BIGINT) AS status,
+    CAST(CASE WHEN total {win} THEN total
+              WHEN lp_line = '' THEN 0
+              WHEN n_nums <> 4 THEN 0
+              WHEN parsed {win} THEN parsed
+              WHEN parsed - {retry} > 0 THEN parsed - {retry}
+              ELSE 0 END AS BIGINT) AS lines_parsed,
+    CAST(total AS BIGINT) AS sum_imported_ignored_lines
+FROM d"""
 
 
 def generic_server_extract_sql(
