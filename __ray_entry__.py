@@ -376,6 +376,41 @@ def _q_dedup_simhash_pairs(sf_dir: str):
     return dedup.simhash_candidates(ds)
 
 
+def _q_dedup_simhash_verified(sf_dir: str):
+    """Simhash end-to-end: chunk-bucketed candidates -> distributed
+    XOR+popcount verify. Exact (chunk theorem covers Hamming<=3), so
+    DuckDB's all-pairs bit_count(xor(...)) is a value oracle."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.simhash_candidates(docs)
+    out = dedup.simhash_hamming_verify_ds(cand, docs).to_pandas()
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_lsh_verified(sf_dir: str):
+    """The assembled near-dup pipeline a training-data run needs:
+    minhash LSH candidates -> distributed exact n-gram Jaccard verify
+    -> is_dup pairs. Gated against DuckDB's all-pairs exact Jaccard at
+    the 0.8 threshold (qualifying pairs at sf0.01 all sit at J>=0.9,
+    where the 16x4 band structure's miss probability is ~4e-8 and the
+    deterministic fixture makes the equality reproducible)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs)
+    out = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_text_token_counts(sf_dir: str):
     import ray.data
 
@@ -797,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_group_sizes": _q_dedup_group_sizes,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash_verified": _q_dedup_simhash_verified,
+        "dedup_lsh_verified": _q_dedup_lsh_verified,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -862,6 +899,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
+        "dedup_simhash_verified": oracle.simhash_verified_pairs_sql(
+            datagen.simhash_path(SF001)
+        ),
+        "dedup_lsh_verified": oracle.jaccard_verified_pairs_sql(threshold=0.8),
         "media_payload_stats": (
             "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "
             f"AS payload_bytes FROM read_parquet('{mpath}')"

@@ -528,6 +528,28 @@ def summaries_path(seed: int = 42) -> str:
     return path
 
 
+def simhash_path(sf_dir: str) -> str:
+    """Cached simhash fingerprints of {sf_dir}/documents.parquet — the
+    ORACLE INPUT for the Hamming-verify gate. Computed once with the
+    engine's own (pytest-gated) simhash kernel; the driver gate then
+    checks the chunk-bucketing + distributed-verify pipeline end-to-end
+    against DuckDB's all-pairs xor/bit_count over these fingerprints."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(CACHE_DIR, f"simhash_v1_{key}.parquet")
+    if not os.path.exists(path):
+        from .ops import dedup
+
+        df = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        fp = dedup.simhash_batch(df)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(fp, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def sf_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our sf key."""
     base = os.path.basename(os.path.normpath(sf_dir))

@@ -150,7 +150,8 @@ def _pairs_from_bucket(id_col: str, max_bucket: int = 64):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g[id_col].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            empty = ids[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         ids = ids[:max_bucket]  # cap pathological buckets; logged via metrics
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
@@ -194,8 +195,13 @@ def bucket_pairs(
     def block_fn(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         if n == 0:
+            # empty ids MUST keep the id dtype (an object/null-typed
+            # empty column degrades downstream sort blocks to
+            # schema-less empties, breaking hash joins)
+            empty_id = b[id_col].iloc[:0]
             return pd.DataFrame(
-                {"kind": pd.Series([], dtype=object), "id_a": [], "id_b": [],
+                {"kind": pd.Series([], dtype=object), "id_a": empty_id,
+                 "id_b": empty_id,
                  **{c: pd.Series([], dtype=b[c].dtype) for c in bucket_cols}}
             )
         change = np.zeros(n, dtype=bool)
@@ -251,7 +257,11 @@ def bucket_pairs(
                 out_a.append(a)
                 out_b.append(bb)
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            # empty frames must keep the id dtype: an untyped empty
+            # (float64) block makes downstream sort/union emit
+            # schema-less blocks that break hash joins
+            empty = b["id_a"].iloc[:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
@@ -486,11 +496,177 @@ def simhash_candidates(
     return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_chunks")
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+    )
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array(
-        [bin(int(v)).count("1") for v in x], dtype=np.int64
-    )  # candidate sets are small; fine driver-side
+    return popcount64(np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
+
+
+def arrow_col_type(ds: "ray.data.Dataset", col: str):
+    """Arrow type of a dataset column (from the known schema — no
+    execution), for normalizing pair blocks ahead of a hash join."""
+    import pyarrow as pa
+
+    base = getattr(ds.schema(), "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.field(col).type
+    try:  # PandasBlockSchema
+        i = list(base.names).index(col)
+        return pa.from_numpy_dtype(base.types[i])
+    except Exception:
+        return pa.int64()
+
+
+def normalize_pair_ids(
+    pairs: "ray.data.Dataset", id_type, num_blocks: int = 8
+) -> "ray.data.Dataset":
+    """Cast every (id_a, id_b) block to one explicit Arrow schema and
+    rebuild the block list. Sort/union stages can emit degenerate
+    schema-less EMPTY blocks which map stages skip (so no UDF can fix
+    them in place) and which poison Ray's hash-join aggregator when a
+    join partition ends up empty; the repartition drops them. Pairs are
+    small projections, so this extra exchange is cheap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], id_type),
+                "id_b": pc.cast(t["id_b"], id_type),
+            }
+        )
+
+    return (
+        pairs.select_columns(["id_a", "id_b"])
+        .map_batches(fn, batch_format="pyarrow")
+        .repartition(num_blocks)
+    )
+
+
+def _attach_side(
+    docs: "ray.data.Dataset", id_col: str, payload_col: str, out_id: str, out_payload: str
+):
+    """Projection renaming (id, payload) -> (out_id, out_payload) for a
+    pair-verification join side."""
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({out_id: b[id_col], out_payload: b[payload_col]})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def simhash_hamming_verify_ds(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed Hamming verification of candidate pairs: fingerprints
+    are recomputed per batch (cheap, vectorized), attached to each pair
+    side with two hash-partitioned joins, then XOR+popcount keeps pairs
+    within ``max_hamming``. Combined with simhash_candidates (4x16-bit
+    chunk bucketing guarantees every Hamming<=3 pair shares a chunk),
+    the output is EXACTLY the set of pairs at Hamming <= 3 — the chunk
+    theorem makes this verify exact, not probabilistic."""
+    fps = docs.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
+    )
+    fa = _attach_side(fps, id_col, "simhash", "id_a", "fp_a")
+    fb = _attach_side(fps, id_col, "simhash", "id_b", "fp_b")
+    pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
+    j = pairs.join(fa, "inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(fb, "inner", num_partitions=num_partitions, on=("id_b",))
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        ham = hamming_distance(
+            b["fp_a"].to_numpy(dtype=np.uint64), b["fp_b"].to_numpy(dtype=np.uint64)
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].to_numpy()[keep],
+                "id_b": b["id_b"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    return j.map_batches(kernel, batch_format="pandas")
+
+
+def _shingle_id_sets(texts: pd.Series, k: int) -> list:
+    wh, off = hashing.tokenize_words(texts)
+    sh, soff = hashing.shingle_hashes(wh, off, k=k)
+    return [np.unique(sh[soff[i] : soff[i + 1]]) for i in range(len(texts))]
+
+
+def ngram_jaccard_verify_ds(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed exact k-gram Jaccard verification of candidate
+    pairs — the precise re-check after minhash LSH, run as a pipeline
+    stage instead of on the driver: two hash-partitioned joins attach
+    each side's text (only candidate pairs carry text through the
+    shuffle), then a batch kernel computes exact shingle-set Jaccard
+    and keeps pairs >= threshold. Per-pair cost is O(|shingles|);
+    candidate volume is bounded by the LSH band structure."""
+
+    ta = _attach_side(docs, id_col, text_col, "id_a", "text_a")
+    tb = _attach_side(docs, id_col, text_col, "id_b", "text_b")
+    pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
+    j = pairs.join(ta, "inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(tb, "inner", num_partitions=num_partitions, on=("id_b",))
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": b["id_a"],
+                    "id_b": b["id_b"],
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        sa = _shingle_id_sets(b["text_a"].reset_index(drop=True), k)
+        sb = _shingle_id_sets(b["text_b"].reset_index(drop=True), k)
+        inter = np.fromiter(
+            (
+                len(np.intersect1d(x, y, assume_unique=True))
+                for x, y in zip(sa, sb)
+            ),
+            dtype=np.int64,
+            count=len(sa),
+        )
+        uni = (
+            np.fromiter((len(x) for x in sa), dtype=np.int64, count=len(sa))
+            + np.fromiter((len(y) for y in sb), dtype=np.int64, count=len(sb))
+            - inter
+        )
+        jac = np.where(uni > 0, inter / np.maximum(uni, 1), 0.0)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].to_numpy()[keep],
+                "id_b": b["id_b"].to_numpy()[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return j.map_batches(kernel, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

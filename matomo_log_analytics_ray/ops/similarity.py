@@ -144,7 +144,13 @@ class MaskedTopKScorer:
             lists = np.argmax(vecs @ self.cent.T, axis=1)
             allowed = self.membership[lists]  # (n, nq)
         if not allowed.any():
-            return pd.DataFrame({"query_id": [], self.id_col: [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": self.query_ids[:0],
+                    self.id_col: ids[:0],
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
         scores = np.where(allowed, vecs @ self.qmat.T, -np.inf)  # (n, nq)
         k = min(self.k, len(ids))
         top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
@@ -365,12 +371,23 @@ def verify_pairs_cosine(
 
     emb_a = corpus.map_batches(_renamer("id_a", "emb_a"), batch_format="pandas")
     emb_b = corpus.map_batches(_renamer("id_b", "emb_b"), batch_format="pandas")
+    from . import dedup as dedup_ops
+
+    pairs = dedup_ops.normalize_pair_ids(
+        pairs, dedup_ops.arrow_col_type(corpus, id_col), num_partitions
+    )
     j = pairs.join(emb_a, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(emb_b, "inner", num_partitions=num_partitions, on=("id_b",))
 
     def cosine_batch(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "id_a": b["id_a"],
+                    "id_b": b["id_b"],
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         va = _normalize(
             np.stack([np.frombuffer(v, dtype=np.float64) for v in b["emb_a"]])
         )

@@ -474,5 +474,43 @@ SELECT collection, path,
 FROM read_parquet('{log_paths_parquet}')"""
 
 
+def simhash_verified_pairs_sql(fp_parquet: str, max_hamming: int = 3) -> str:
+    """All document pairs at Hamming <= max_hamming over the cached
+    fingerprint table (datagen.simhash_path) — the 4x16-bit chunk
+    theorem makes the engine's candidates+verify output exactly this
+    set."""
+    d = "bit_count(xor(a.simhash, b.simhash))"
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({d} AS BIGINT) AS hamming
+FROM read_parquet('{fp_parquet}') a JOIN read_parquet('{fp_parquet}') b
+  ON a.doc_id < b.doc_id
+WHERE {d} <= {max_hamming}"""
+
+
+def jaccard_verified_pairs_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """All document pairs with exact k-gram Jaccard >= threshold over
+    the ``documents`` view: tokens are the SAME [a-z0-9]+ lowercased
+    words the engine hashes (ops/hashing.tokenize_words); docs shorter
+    than k fall back to their word set exactly like shingle_hashes."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace("w[i+0]", "w[i]")
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), s AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= {k}
+             THEN list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {gram}))
+             ELSE list_distinct(w) END AS sh
+    FROM t
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}"""
+
+
 def transcripts_source(parquet_path: str) -> str:
     return f"SELECT * FROM read_parquet('{parquet_path}')"

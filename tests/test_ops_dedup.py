@@ -145,3 +145,72 @@ def test_run_reduction_invariant_to_partitioning():
         )
         counts.append(c[["bkt", "n"]])
     assert counts[0].equals(counts[1]) and counts[1].equals(counts[2])
+
+
+def _docs_with_dups(n=60, seed=3):
+    """Deterministic corpus: word-salad docs plus planted exact/near
+    duplicates (last 6 docs perturb docs 0-5 by one word)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(n)
+    ]
+    for i in range(6):
+        words = texts[i].split()
+        words[5] = "zz"  # one-word perturbation -> high jaccard near-dup
+        texts.append(" ".join(words))
+    return pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+
+def test_simhash_verified_pipeline_is_exact():
+    """candidates -> distributed Hamming verify == brute-force all-pairs
+    Hamming<=3 (the 4x16-bit chunk theorem guarantees coverage)."""
+    import numpy as np
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    docs_df = _docs_with_dups()
+    docs = ray.data.from_pandas(docs_df).repartition(3)
+    cand = dedup.simhash_candidates(docs)
+    got = dedup.simhash_hamming_verify_ds(cand, docs).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    fp = dedup.simhash_batch(docs_df)
+    x = fp["simhash"].to_numpy(dtype=np.uint64)
+    ids = fp["doc_id"].to_numpy()
+    want = set()
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            if dedup.popcount64(np.array([x[i] ^ x[j]]))[0] <= 3:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got_pairs == want
+    assert (got["hamming"] <= 3).all()
+
+
+def test_lsh_jaccard_verified_pipeline_matches_driver_verify():
+    """distributed ngram_jaccard_verify_ds == the driver-side
+    ngram_jaccard_verify on the same candidate set."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    docs_df = _docs_with_dups()
+    docs = ray.data.from_pandas(docs_df).repartition(3)
+    cand = dedup.minhash_lsh_candidates(docs)
+    cand_df = cand.to_pandas()
+    got = (
+        dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = dedup.ngram_jaccard_verify(cand_df, docs_df, threshold=0.5)
+    want = (
+        want[want["is_dup"]][["id_a", "id_b", "jaccard"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert got["id_a"].tolist() == want["id_a"].tolist()
+    assert got["id_b"].tolist() == want["id_b"].tolist()
+    assert (got["jaccard"].round(9) == want["jaccard"].round(9)).all()
