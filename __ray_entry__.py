@@ -139,6 +139,34 @@ def _q_parse_log_ts(sf_dir: str):
     )
 
 
+def _q_rawlog_format_counts(sf_dir: str):
+    """S6 raw-text/gzip source: ray.data.read_text over a .log.gz file
+    -> the same vectorized parse cascade -> per-format counts. The
+    oracle reads the uncompressed twin of the same fixture."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.stages import parse
+
+    _log, gz = datagen.rawlog_paths()
+
+    def partial(batch):
+        t = parse.parse_batch(batch)
+        fmt = t["fmt"].to_pandas().fillna("none")
+        g = fmt.value_counts().rename_axis("fmt").reset_index(name="n")
+        return pd.DataFrame({"fmt": g["fmt"].astype(str), "n": g["n"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_text(gz, arrow_open_stream_args={"compression": "gzip"})
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def _q_date_extract(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -812,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
         "parse_format_counts": _q_parse_format_counts,
         "parse_log_ts": _q_parse_log_ts,
+        "s6_rawlog_format_counts": _q_rawlog_format_counts,
         "flagship_sink_hourly": _q_flagship_sink_hourly,
         "m8_date_extract": _q_date_extract,
         "o1_recent_events": _q_o1_recent_events,
@@ -959,6 +988,7 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),
         "parse_format_counts": oracle.format_counts_sql(src),
         "parse_log_ts": oracle.log_ts_sql(src),
+        "s6_rawlog_format_counts": oracle.rawlog_format_counts_sql(datagen.rawlog_paths()[0]),
         "flagship_sink_hourly": oracle.sink_hourly_sql(src),
         "m8_date_extract": oracle.date_extract_sql(lpath),
         "o1_recent_events": (

@@ -528,6 +528,33 @@ def summaries_path(seed: int = 42) -> str:
     return path
 
 
+def rawlog_paths(n: int = 20_000, seed: int = 7) -> tuple[str, str]:
+    """Deterministic raw log file (.log) plus its gzip twin (.log.gz):
+    the transcripts line generator's text column, one line per row —
+    the S6 source fixture (reference .gz handling evidence:
+    /root/reference/libs/lib_file_name.py:175-176 gunzip name builder,
+    /root/reference/libs/lib_status.py:110 .log.gz validity check).
+    The engine reads the COMPRESSED twin via ray.data.read_text; the
+    DuckDB oracle reads the plain twin — identical content."""
+    import gzip
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    base = os.path.join(CACHE_DIR, f"rawlog_v1_seed{seed}")
+    log, gz = base + ".log", base + ".log.gz"
+    if not (os.path.exists(log) and os.path.exists(gz)):
+        t = generate_transcripts(n, seed=seed)
+        data = "\n".join(t["text"].to_pylist()) + "\n"
+        tmp = log + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, log)
+        tmp = gz + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            f.write(data)
+        os.replace(tmp, gz)
+    return log, gz
+
+
 def simhash_path(sf_dir: str) -> str:
     """Cached simhash fingerprints of {sf_dir}/documents.parquet — the
     ORACLE INPUT for the Hamming-verify gate. Computed once with the

@@ -474,6 +474,25 @@ SELECT collection, path,
 FROM read_parquet('{log_paths_parquet}')"""
 
 
+def rawlog_format_counts_sql(log_path: str) -> str:
+    """S6 raw-text source oracle: split the plain .log file into lines
+    and classify with the SAME format cascade the engine applies to the
+    gzip twin through ray.data.read_text."""
+    from .stages import parse
+
+    fmt_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(text, '{pattern}') THEN '{fmt}'"
+        for fmt, pattern, _ in parse.FORMATS
+    ) + " END"
+    return f"""
+WITH lines AS (
+    SELECT unnest(string_split(content, chr(10))) AS text
+    FROM read_text('{log_path}')
+), src AS (SELECT text FROM lines WHERE text <> '')
+SELECT COALESCE({fmt_case}, 'none') AS fmt, CAST(COUNT(*) AS BIGINT) AS n
+FROM src GROUP BY 1"""
+
+
 def simhash_verified_pairs_sql(fp_parquet: str, max_hamming: int = 3) -> str:
     """All document pairs at Hamming <= max_hamming over the cached
     fingerprint table (datagen.simhash_path) — the 4x16-bit chunk
