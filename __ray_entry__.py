@@ -826,6 +826,54 @@ def _q_conv_turn_counts(sf_dir: str):
     return groupagg.per_key_counts_salted(ds, "conv_id")
 
 
+def _events_side(sf_dir: str, event_type: str, id_name: str):
+    """Pruned (user_id, ts, <id_name>) projection of one event type."""
+    import pandas as pd
+    import ray.data
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["event_type"] == event_type]
+        return pd.DataFrame(
+            {"user_id": sel["user_id"], "ts": sel["ts"], id_name: sel["event_id"]}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def _q_asof_click_purchase(sf_dir: str):
+    """As-of join (ops/asof.asof_join): each click matched to the
+    latest same-user purchase with ts <= click ts. One range sort +
+    in-block vectorized forward-fill; only unresolved heads and one
+    carry row per block cross block boundaries."""
+    from matomo_log_analytics_ray.ops import asof
+
+    clicks = _events_side(sf_dir, "click", "event_id")
+    purchases = _events_side(sf_dir, "purchase", "asof_event_id")
+    return asof.asof_join(
+        clicks, purchases, key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="asof_event_id",
+    )
+
+
+def _q_range_join_click_purchase(sf_dir: str):
+    """Range join (ops/asof.range_join): (click, purchase) pairs of the
+    same user with click ts in [purchase ts, purchase ts + 24h).
+    Intervals replicate into <= 2 buckets of the window width; a
+    hash-partitioned Dataset.join on (user, bucket) + exact filter."""
+    from matomo_log_analytics_ray.ops import asof
+
+    clicks = _events_side(sf_dir, "click", "click_id")
+    purchases = _events_side(sf_dir, "purchase", "purchase_id")
+    return asof.range_join(
+        clicks, purchases, key_col="user_id", point_ts="ts",
+        point_id="click_id", ivl_start="ts", ivl_id="purchase_id",
+        width_us=24 * 3600 * 1_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -876,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "window_event_counts": _q_window_event_counts,
         "conv_turn_counts": _q_conv_turn_counts,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "range_join_click_purchase": _q_range_join_click_purchase,
     }
 
 
@@ -928,6 +978,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
+        "text_langid": oracle.langid_sql(),
+        "asof_click_purchase": oracle.asof_click_purchase_sql(),
+        "range_join_click_purchase": oracle.range_join_click_purchase_sql(hours=24),
         "dedup_simhash_verified": oracle.simhash_verified_pairs_sql(
             datagen.simhash_path(SF001)
         ),

@@ -533,3 +533,70 @@ FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}"""
 
 def transcripts_source(parquet_path: str) -> str:
     return f"SELECT * FROM read_parquet('{parquet_path}')"
+
+
+def langid_sql() -> str:
+    """Stopword-vote language ID over the ``documents`` view — the same
+    occurrence-counting argmax as ops/textstats.langid_batch: words are
+    [a-z]+ runs of the lowercased text, each language's vote is the
+    number of word occurrences in its stopword list, prediction is the
+    first-declared language with the max vote ('und' when all zero)."""
+    from .ops.textstats import STOPWORDS
+
+    langs = list(STOPWORDS)
+    votes = ", ".join(
+        "count(*) FILTER (WHERE w.w IN ({})) AS v_{}".format(
+            ", ".join(f"'{s}'" for s in sorted(STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    greatest = "greatest({})".format(", ".join(f"v_{l}" for l in langs))
+    # argmax with first-declared tie-break: en >= es AND en >= pt -> en, ...
+    case = f"CASE WHEN {greatest} = 0 THEN 'und'"
+    for i, lang in enumerate(langs):
+        if i == len(langs) - 1:
+            case += f" ELSE '{lang}' END"
+        else:
+            conds = " AND ".join(f"v_{lang} >= v_{o}" for o in langs[i + 1:])
+            case += f" WHEN {conds} THEN '{lang}'"
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+    FROM documents
+), v AS (
+    SELECT d.doc_id, {votes}
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT doc_id, {case} AS lang_pred FROM v"""
+
+
+def asof_click_purchase_sql() -> str:
+    """As-of join over the ``events`` view: for each click, the latest
+    purchase by the same user with ts <= click ts; ties on purchase ts
+    break to the greatest purchase event_id (the engine's tie_col)."""
+    return """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+    SELECT c.event_id, max(p.ts) AS asof_ts
+    FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+    GROUP BY c.event_id
+)
+SELECT m.event_id, m.asof_ts, max(p.event_id) AS asof_event_id
+FROM m
+JOIN c ON c.event_id = m.event_id
+JOIN p ON p.user_id = c.user_id AND p.ts = m.asof_ts
+GROUP BY m.event_id, m.asof_ts"""
+
+
+def range_join_click_purchase_sql(hours: int = 24) -> str:
+    """Range join over the ``events`` view: (click, purchase) pairs of
+    the same user where the click falls in the half-open window
+    [purchase ts, purchase ts + ``hours``h)."""
+    return f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL {hours} HOUR"""
