@@ -874,6 +874,22 @@ def _q_range_join_click_purchase(sf_dir: str):
     )
 
 
+def _q_grouped_topk_user_events(sf_dir: str):
+    """Top-3 most recent events per user (ops/topk.grouped_topk): the
+    ROW_NUMBER()-over-partition shape via one range sort + per-block
+    position-in-run masking; edge runs pre-reduce to k rows per block."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return topk.grouped_topk(
+        ds, key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -926,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_counts": _q_conv_turn_counts,
         "asof_click_purchase": _q_asof_click_purchase,
         "range_join_click_purchase": _q_range_join_click_purchase,
+        "grouped_topk_user_events": _q_grouped_topk_user_events,
     }
 
 
@@ -979,6 +996,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "text_langid": oracle.langid_sql(),
+        "grouped_topk_user_events": (
+            "SELECT user_id, ts, event_id FROM ("
+            "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+            "  FROM events) WHERE rn <= 3"
+        ),
         "asof_click_purchase": oracle.asof_click_purchase_sql(),
         "range_join_click_purchase": oracle.range_join_click_purchase_sql(hours=24),
         "dedup_simhash_verified": oracle.simhash_verified_pairs_sql(

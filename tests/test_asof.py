@@ -141,3 +141,46 @@ def test_range_join_matches_reference():
         ivl_start="ts", ivl_id="purchase_id", width_us=width_us,
     ).to_pandas()
     assert got2["click_id"].tolist() == [1]
+
+
+def test_grouped_topk_matches_reference():
+    from matomo_log_analytics_ray.ops import topk
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 11, size=500),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**5, size=500), unit="s"),
+            "event_id": np.arange(500, dtype=np.int64),
+        }
+    )
+    want = (
+        df.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+        .groupby("user_id", sort=False)
+        .head(3)
+    )
+    for nblocks in (1, 4, 16):
+        got = topk.grouped_topk(
+            ray.data.from_pandas(df).repartition(nblocks),
+            key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3,
+        ).to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+def test_grouped_topk_single_hot_key():
+    from matomo_log_analytics_ray.ops import topk
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.zeros(400, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(400), unit="s"),
+            "event_id": np.arange(400, dtype=np.int64),
+        }
+    )
+    got = topk.grouped_topk(
+        ray.data.from_pandas(df).repartition(8),
+        key_cols=["user_id"], sort_cols=["ts", "event_id"], k=5,
+    ).to_pandas()
+    assert sorted(got["event_id"].tolist()) == [395, 396, 397, 398, 399]
