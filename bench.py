@@ -250,6 +250,9 @@ def main() -> None:
         "dedup_minhash_pairs",
         "text_token_counts",
         "similarity_topk",
+        "asof_click_purchase",
+        "range_join_click_purchase",
+        "grouped_topk_user_events",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
