@@ -890,6 +890,24 @@ def _q_grouped_topk_user_events(sf_dir: str):
     )
 
 
+def _q_quantiles_event_values(sf_dir: str):
+    """Exact grouped quantiles (ops/quantiles.grouped_quantiles):
+    histogram-refinement selection — streaming stats/histogram/uniques
+    passes with tiny driver merges; no sort, no data collection."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = quantiles.grouped_quantiles(
+        ds, "event_type", "value", qs=(0.25, 0.5, 0.75, 0.9)
+    )
+    out["value"] = out["value"].round(6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -943,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_purchase": _q_asof_click_purchase,
         "range_join_click_purchase": _q_range_join_click_purchase,
         "grouped_topk_user_events": _q_grouped_topk_user_events,
+        "quantiles_event_values": _q_quantiles_event_values,
     }
 
 
@@ -1001,6 +1020,14 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
             "    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
             "  FROM events) WHERE rn <= 3"
+        ),
+        "quantiles_event_values": (
+            " UNION ALL ".join(
+                f"SELECT event_type, {q} AS q, "
+                f"ROUND(quantile_disc(value, {q}), 6) AS value "
+                "FROM events GROUP BY event_type"
+                for q in (0.25, 0.5, 0.75, 0.9)
+            )
         ),
         "asof_click_purchase": oracle.asof_click_purchase_sql(),
         "range_join_click_purchase": oracle.range_join_click_purchase_sql(hours=24),
