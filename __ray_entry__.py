@@ -908,6 +908,36 @@ def _q_quantiles_event_values(sf_dir: str):
     return out
 
 
+def _q_split_documents(sf_dir: str):
+    """Deterministic leakage-safe train/val/test split (ops/split.
+    hash_split): stateless per-batch hash-bucket projection; the
+    SQL-expressible knuth_bucket flavor so DuckDB can replay it."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split.hash_split(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_fn=split.knuth_bucket,
+    )
+
+
+def _q_stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sample (ops/split.stratified_sample):
+    5 events per type in hash-of-id order via grouped_topk."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
+    )
+    return split.stratified_sample(
+        ds, "event_type", "event_id", k=5, bucket_fn=split.knuth_bucket
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -962,6 +992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_click_purchase": _q_range_join_click_purchase,
         "grouped_topk_user_events": _q_grouped_topk_user_events,
         "quantiles_event_values": _q_quantiles_event_values,
+        "split_documents": _q_split_documents,
+        "stratified_sample_events": _q_stratified_sample_events,
     }
 
 
@@ -1028,6 +1060,19 @@ def oracle_sql() -> dict[str, str]:
                 "FROM events GROUP BY event_type"
                 for q in (0.25, 0.5, 0.75, 0.9)
             )
+        ),
+        "split_documents": (
+            "SELECT doc_id, CASE WHEN b < 800 THEN 'train' "
+            "WHEN b < 900 THEN 'val' ELSE 'test' END AS split FROM ("
+            "  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 1000 AS b"
+            "  FROM documents)"
+        ),
+        "stratified_sample_events": (
+            "SELECT event_type, event_id FROM ("
+            "  SELECT event_type, event_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY event_type ORDER BY"
+            "    ((event_id * 2654435761) % 4294967296) % 4294967295, event_id"
+            "  ) AS rn FROM events) WHERE rn <= 5"
         ),
         "asof_click_purchase": oracle.asof_click_purchase_sql(),
         "range_join_click_purchase": oracle.range_join_click_purchase_sql(hours=24),

@@ -1,0 +1,103 @@
+"""Deterministic dataset splitting and stratified sampling.
+
+Training-data plumbing the reference never needed (its unit of work is
+a log file, not an example). Both operators are pure stateless
+``map_batches`` projections — no shuffle, no state, reproducible on any
+cluster shape:
+
+* hash_split          assign each row to train/val/test by a
+                      deterministic hash bucket of its id — the
+                      standard leakage-safe split (same id always lands
+                      in the same split, independent of row order,
+                      partitioning, or cluster size).
+* stratified_sample   k rows per group, chosen by hash order — a
+                      composition of the same deterministic hash with
+                      ops/topk.grouped_topk, so the "random" sample is
+                      stable across runs and re-partitions.
+
+Two hash flavors: ``knuth_bucket`` (32-bit multiplicative, exactly
+expressible in SQL — the driver-gate flavor) and the stronger
+``hashing.mix`` splitmix64 (the default for real use at scale, where
+ids exceed 32 bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from . import hashing
+from . import topk
+
+KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def knuth_bucket(ids: np.ndarray, n_buckets: int = 1000) -> np.ndarray:
+    """((id * 2654435761) mod 2^32) mod n_buckets — SQL-expressible
+    (fits BIGINT for ids < 2^32), uniform enough for splits."""
+    h = (ids.astype(np.uint64) * KNUTH) & _M32
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def mix_bucket(ids: np.ndarray, n_buckets: int = 1000) -> np.ndarray:
+    """splitmix64 bucket — the full-width flavor for 64-bit id spaces."""
+    return (hashing.mix(ids.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    fractions: dict[str, float],
+    bucket_fn=mix_bucket,
+    n_buckets: int = 1000,
+) -> "ray.data.Dataset":
+    """Add a ``split`` column: the id's hash bucket mapped through the
+    cumulative fraction boundaries (insertion order of ``fractions``;
+    fractions must sum to 1). Stateless per-batch projection."""
+    names = list(fractions)
+    bounds = np.cumsum([fractions[n] for n in names]) * n_buckets
+    if not np.isclose(bounds[-1], n_buckets):
+        raise ValueError("fractions must sum to 1")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket_fn(b[id_col].to_numpy(), n_buckets)
+        out = b.copy()
+        out["split"] = np.asarray(names, dtype=object)[
+            np.searchsorted(bounds, bucket, side="right")
+        ]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    k: int,
+    bucket_fn=mix_bucket,
+) -> "ray.data.Dataset":
+    """k rows per group, deterministic: order each group by
+    (hash(id), id) and keep the first k via grouped_topk (range sort +
+    run masking; edge runs pre-reduced to k rows per block)."""
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_h"] = bucket_fn(b[id_col].to_numpy(), 2**32 - 1)
+        return out
+
+    sampled = topk.grouped_topk(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        key_cols=[group_col],
+        sort_cols=["_h", id_col],
+        k=k,
+        descending=False,
+    )
+    return sampled.map_batches(
+        lambda b: b.drop(columns=["_h"]), batch_format="pandas"
+    )

@@ -1,0 +1,66 @@
+"""ops/split: deterministic hash split and stratified sampling are
+stable across partitioning, leakage-safe (same id -> same split), and
+match their declared fractions."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from matomo_log_analytics_ray.ops import split
+
+
+def test_hash_split_deterministic_and_partition_invariant():
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    outs = []
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = (
+            split.hash_split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    frac = outs[0]["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_hash_split_fraction_validation():
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1]}))
+    try:
+        split.hash_split(ds, "doc_id", {"train": 0.5, "val": 0.1})
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_knuth_bucket_matches_sql_formula():
+    ids = np.array([0, 1, 17, 999_983, 2**31 - 1], dtype=np.int64)
+    got = split.knuth_bucket(ids, 1000)
+    want = [(int(i) * 2654435761) % 2**32 % 1000 for i in ids]
+    assert got.tolist() == want
+
+
+def test_stratified_sample_exact_k_and_stable():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=3000),
+            "event_id": np.arange(3000, dtype=np.int64),
+        }
+    )
+    outs = []
+    for nblocks in (1, 8):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = (
+            split.stratified_sample(ds, "g", "event_id", k=7)
+            .to_pandas()
+            .sort_values(["g", "event_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0].groupby("g").size().tolist() == [7, 7, 7]
