@@ -938,6 +938,35 @@ def _q_stratified_sample_events(sf_dir: str):
     )
 
 
+def _q_distinct_users_exact(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type (ops/distinct.
+    distinct_counts): local pair dedup -> one sorted-run pass -> tiny
+    bounded-cardinality merge; only deduped (type, user) pairs shuffle."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct.distinct_counts(ds, "event_type", "user_id")
+
+
+def _q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event type — one
+    shuffle-free streaming pass of register partials (deterministic:
+    same estimate on any partitioning). Approximate, so no SQL oracle;
+    error bound pytest-gated in tests/test_distinct.py."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct.hll_distinct_counts(ds, "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -994,6 +1023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_event_values": _q_quantiles_event_values,
         "split_documents": _q_split_documents,
         "stratified_sample_events": _q_stratified_sample_events,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "distinct_users_hll": _q_distinct_users_hll,
     }
 
 
@@ -1060,6 +1091,10 @@ def oracle_sql() -> dict[str, str]:
                 "FROM events GROUP BY event_type"
                 for q in (0.25, 0.5, 0.75, 0.9)
             )
+        ),
+        "distinct_users_exact": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type"
         ),
         "split_documents": (
             "SELECT doc_id, CASE WHEN b < 800 THEN 'train' "

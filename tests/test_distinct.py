@@ -1,0 +1,61 @@
+"""ops/distinct: exact distinct counts equal pandas nunique on any
+partitioning; the HLL sketch is partition-invariant and within its
+theoretical error bound."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from matomo_log_analytics_ray.ops import distinct
+
+
+def _make(n=20_000, n_groups=4, card=3_000, seed=13):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, n_groups, size=n),
+            "v": rng.integers(0, card, size=n),
+        }
+    )
+
+
+def test_exact_distinct_matches_pandas():
+    df = _make()
+    want = (
+        df.groupby("g")["v"].nunique().rename("n_distinct").reset_index()
+    )
+    for nblocks in (1, 6):
+        got = (
+            distinct.distinct_counts(
+                ray.data.from_pandas(df).repartition(nblocks), "g", "v"
+            )
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hll_error_bound_and_partition_invariance():
+    # 4096 registers -> ~1.6% typical error; assert a generous 5%
+    df = _make(n=200_000, n_groups=3, card=40_000, seed=17)
+    exact = df.groupby("g")["v"].nunique()
+    ests = []
+    for nblocks in (2, 9):
+        got = (
+            distinct.hll_distinct_counts(
+                ray.data.from_pandas(df).repartition(nblocks), "g", "v"
+            )
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        ests.append(got)
+    pd.testing.assert_frame_equal(ests[0], ests[1])  # deterministic
+    for _, row in ests[0].iterrows():
+        true = exact[row["g"]]
+        assert abs(row["n_distinct_est"] - true) / true < 0.05
+
+
+def test_hll_small_range_linear_counting():
+    df = pd.DataFrame({"g": ["a"] * 500, "v": np.arange(50).repeat(10)})
+    got = distinct.hll_distinct_counts(ray.data.from_pandas(df), "g", "v")
+    assert abs(int(got["n_distinct_est"].iloc[0]) - 50) <= 2
