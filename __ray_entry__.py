@@ -967,6 +967,19 @@ def _q_distinct_users_hll(sf_dir: str):
     return distinct.hll_distinct_counts(ds, "event_type", "user_id")
 
 
+def _q_word_doc_freq(sf_dir: str):
+    """Vocab building: top-20 words by document frequency (ops/
+    textstats.word_doc_freq) — distinct (doc, word) pairs dedup
+    batch-locally, sorted-run counting over the word key, partial
+    top-k merge."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.word_doc_freq(ds, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "distinct_users_exact": _q_distinct_users_exact,
         "distinct_users_hll": _q_distinct_users_hll,
+        "word_doc_freq": _q_word_doc_freq,
     }
 
 
@@ -1095,6 +1109,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_exact": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "word_doc_freq": (
+            "WITH w AS (SELECT doc_id, unnest(list_distinct("
+            "  regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))) AS w"
+            "  FROM documents)"
+            " SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_docs FROM w"
+            " GROUP BY w ORDER BY n_docs DESC, word LIMIT 20"
         ),
         "split_documents": (
             "SELECT doc_id, CASE WHEN b < 800 THEN 'train' "

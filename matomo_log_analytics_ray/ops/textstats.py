@@ -107,3 +107,40 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     out = batch.copy()
     out["fingerprint"] = fp
     return out
+
+
+def word_doc_freq(
+    ds, text_col: str = "text", k: int = 20, id_col: str = "doc_id"
+):
+    """Top-k words by DOCUMENT frequency (the DF side of TF-IDF vocab
+    building): per-batch explode + per-doc dedup (only distinct
+    (doc, word) pairs leave the worker), one sorted-run counting pass
+    over the word key (ops/dedup.sorted_group_counts — high-cardinality
+    safe), then a partial-top-k merge (ops/topk.topk). Ties break to
+    the lexicographically smaller word. Words are [a-z0-9]+ runs of the
+    lowercased text (the same tokens ops/hashing.tokenize_words
+    hashes)."""
+    from . import dedup as _dedup
+    from . import topk as _topk
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        flat = words.explode().dropna().to_numpy()
+        doc = np.repeat(b[id_col].to_numpy(), counts)
+        out = pd.DataFrame({"word": flat, "_doc": doc})
+        return out.drop_duplicates()[["word"]]
+
+    word_rows = ds.map_batches(pairs, batch_format="pandas")
+    counts = _dedup.sorted_group_counts(word_rows, ["word"], alias="n_docs")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_docs"] = b["n_docs"].astype("int64")
+        return b
+
+    return _topk.topk(
+        counts.map_batches(cast, batch_format="pandas"),
+        sort_cols=["n_docs", "word"],
+        k=k,
+        descending=[True, False],
+    )

@@ -59,3 +59,38 @@ def test_hll_small_range_linear_counting():
     df = pd.DataFrame({"g": ["a"] * 500, "v": np.arange(50).repeat(10)})
     got = distinct.hll_distinct_counts(ray.data.from_pandas(df), "g", "v")
     assert abs(int(got["n_distinct_est"].iloc[0]) - 50) <= 2
+
+
+def test_word_doc_freq_matches_pandas():
+    from matomo_log_analytics_ray.ops import textstats
+
+    rng = np.random.default_rng(21)
+    vocab = np.array([f"w{i}" for i in range(200)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(400)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+    want = (
+        df.assign(w=df["text"].str.lower().str.findall(r"[a-z0-9]+"))
+        .explode("w")
+        .drop_duplicates(["doc_id", "w"])
+        .groupby("w")
+        .size()
+        .rename("n_docs")
+        .reset_index()
+        .rename(columns={"w": "word"})
+        .sort_values(["n_docs", "word"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 5):
+        got = (
+            textstats.word_doc_freq(
+                ray.data.from_pandas(df).repartition(nblocks), k=15
+            )
+            .to_pandas()
+            .sort_values(["n_docs", "word"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
