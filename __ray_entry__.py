@@ -980,6 +980,47 @@ def _q_word_doc_freq(sf_dir: str):
     return textstats.word_doc_freq(ds, k=20)
 
 
+def _q_sliding_window_counts(sf_dir: str):
+    """Sliding-window aggregate (2h window, 30min slide): each event
+    replicates into its width/slide = 4 windows in a stateless
+    projection with a per-batch partial combine, then one
+    bounded-cardinality groupby — the tumbling-window shape plus
+    bounded replication; no per-event state, no skew."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    k = 4
+    slide_us = 30 * 60 * 1_000_000
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        aligned = (us // slide_us) * slide_us
+        starts = (
+            np.repeat(aligned, k) - np.tile(np.arange(k, dtype=np.int64), len(b)) * slide_us
+        )
+        out = pd.DataFrame(
+            {
+                "window_start": starts.astype("datetime64[us]"),
+                "event_type": np.repeat(b["event_type"].to_numpy(), k),
+            }
+        )
+        g = out.groupby(["window_start", "event_type"], as_index=False).size()
+        g.columns = ["window_start", "event_type", "n"]
+        return g
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    res = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    res["n"] = res["n"].astype("int64")
+    return res
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1039,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": _q_distinct_users_exact,
         "distinct_users_hll": _q_distinct_users_hll,
         "word_doc_freq": _q_word_doc_freq,
+        "sliding_window_counts": _q_sliding_window_counts,
     }
 
 
@@ -1109,6 +1151,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_exact": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "sliding_window_counts": (
+            "SELECT make_timestamp((epoch_us(ts) // 1800000000 - i.i) * 1800000000)"
+            "   AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i "
+            "GROUP BY 1, 2"
         ),
         "word_doc_freq": (
             "WITH w AS (SELECT doc_id, unnest(list_distinct("
