@@ -844,17 +844,23 @@ def _events_side(sf_dir: str, event_type: str, id_name: str):
 
 
 def _q_asof_click_purchase(sf_dir: str):
-    """As-of join (ops/asof.asof_join): each click matched to the
-    latest same-user purchase with ts <= click ts. One range sort +
+    """As-of join (ops/asof.asof_join_self): each click matched to the
+    latest same-user purchase with ts <= click ts. ONE scan emits the
+    tagged union (both sides are event subsets), then one range sort +
     in-block vectorized forward-fill; only unresolved heads and one
     carry row per block cross block boundaries."""
+    import ray.data
+
     from matomo_log_analytics_ray.ops import asof
 
-    clicks = _events_side(sf_dir, "click", "event_id")
-    purchases = _events_side(sf_dir, "purchase", "asof_event_id")
-    return asof.asof_join(
-        clicks, purchases, key_col="user_id", ts_col="ts",
-        left_id="event_id", right_id="asof_event_id",
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return asof.asof_join_self(
+        ds, key_col="user_id", ts_col="ts",
+        left_mask=lambda b: b["event_type"] == "click",
+        right_mask=lambda b: b["event_type"] == "purchase",
     )
 
 

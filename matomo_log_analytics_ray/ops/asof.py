@@ -87,7 +87,6 @@ def asof_join(
     """
     right_vals = right_vals or []
     tie = tie_col or right_id
-    out_cols = [left_id, "asof_ts", right_id, *right_vals]
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -122,6 +121,63 @@ def asof_join(
     tagged = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas")
     )
+    return _resolve_tagged(
+        tagged, key_col, ts_col, left_id, right_id, right_vals
+    )
+
+
+def asof_join_self(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    left_mask,
+    right_mask,
+    id_col: str = "event_id",
+    left_id: str = "event_id",
+    right_id: str = "asof_event_id",
+) -> "ray.data.Dataset":
+    """As-of join where both sides are row subsets of ONE dataset
+    (e.g. clicks vs purchases of the same event table): a single scan
+    emits the tagged union directly — half the read cost of
+    ``asof_join`` on two filtered branches of the same source, which
+    Ray's tree-shaped plans would execute as two scans. ``left_mask`` /
+    ``right_mask`` are pandas-batch -> bool-Series predicates; ties on
+    the right break to the greatest id."""
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        lm = left_mask(b).to_numpy(dtype=bool)
+        rm = right_mask(b).to_numpy(dtype=bool)
+        ids = b[id_col].to_numpy()
+        out = pd.DataFrame(
+            {
+                key_col: np.concatenate([b[key_col].to_numpy()[lm], b[key_col].to_numpy()[rm]]),
+                ts_col: np.concatenate([b[ts_col].to_numpy()[lm], b[ts_col].to_numpy()[rm]]),
+                "_side": np.concatenate(
+                    [np.full(lm.sum(), _SIDE_LEFT, dtype=np.int8),
+                     np.full(rm.sum(), _SIDE_RIGHT, dtype=np.int8)]
+                ),
+                "_tie": np.concatenate(
+                    [np.zeros(lm.sum(), dtype=np.int64), ids[rm].astype(np.int64)]
+                ),
+                left_id: np.concatenate([ids[lm], np.zeros(rm.sum(), dtype=ids.dtype)]),
+                right_id: np.concatenate([np.zeros(lm.sum(), dtype=ids.dtype), ids[rm]]),
+            }
+        )
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return _resolve_tagged(tagged, key_col, ts_col, left_id, right_id, [])
+
+
+def _resolve_tagged(
+    tagged: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    right_vals: list[str],
+) -> "ray.data.Dataset":
+    out_cols = [left_id, "asof_ts", right_id, *right_vals]
     sorted_ds = tagged.sort([key_col, ts_col, "_side", "_tie"])
 
     def block_fn(b: pd.DataFrame) -> pd.DataFrame:

@@ -184,3 +184,24 @@ def test_grouped_topk_single_hot_key():
         key_cols=["user_id"], sort_cols=["ts", "event_id"], k=5,
     ).to_pandas()
     assert sorted(got["event_id"].tolist()) == [395, 396, 397, 398, 399]
+
+
+def test_asof_join_self_equals_two_sided():
+    # single-scan tagged union must produce exactly the two-dataset result
+    left, right = _make_sides(seed=31)
+    both = pd.concat(
+        [left.assign(kind="L"), right.assign(kind="R")], ignore_index=True
+    )
+    two = asof.asof_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right.rename(columns={"event_id": "asof_event_id"})).repartition(4),
+        key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="asof_event_id",
+    ).to_pandas()
+    one = asof.asof_join_self(
+        ray.data.from_pandas(both).repartition(4),
+        key_col="user_id", ts_col="ts",
+        left_mask=lambda b: b["kind"] == "L",
+        right_mask=lambda b: b["kind"] == "R",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(one), _canon(two), check_dtype=False)
