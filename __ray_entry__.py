@@ -1027,6 +1027,26 @@ def _q_sliding_window_counts(sf_dir: str):
     return res
 
 
+def _q_profile_lineitem(sf_dir: str):
+    """Column profiler (ops/profile.profile_columns): one streaming
+    pass, O(columns) partial rows per block, tiny driver fold."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    out = profile.profile_columns(ds, cols)
+    # gate on the mean, not the raw sum: float partial-sum reordering
+    # perturbs a 1e9-magnitude sum by ~1e-2, which a fixed rounding of
+    # the SUM cannot absorb; the mean keeps the error ~1e-6 relative
+    out["avg_v"] = (out["sum_v"] / out["n"]).round(2)
+    out = out.drop(columns=["sum_v"])
+    for c in ("min_v", "max_v"):
+        out[c] = out[c].round(3)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1087,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "word_doc_freq": _q_word_doc_freq,
         "sliding_window_counts": _q_sliding_window_counts,
+        "profile_lineitem": _q_profile_lineitem,
     }
 
 
@@ -1157,6 +1178,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_exact": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "profile_lineitem": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+                f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+                f"ROUND(MIN({c}), 3) AS min_v, ROUND(MAX({c}), 3) AS max_v, "
+                f"ROUND(SUM({c}) / COUNT(*), 2) AS avg_v FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            )
         ),
         "sliding_window_counts": (
             "SELECT make_timestamp((epoch_us(ts) // 1800000000 - i.i) * 1800000000)"

@@ -94,3 +94,21 @@ def test_word_doc_freq_matches_pandas():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_profile_columns_nulls_and_partials():
+    from matomo_log_analytics_ray.ops import profile
+
+    df = pd.DataFrame(
+        {"a": [1.0, None, 3.0, None, 10.0], "b": [5, 5, 5, 5, 5]}
+    )
+    got = (
+        profile.profile_columns(
+            ray.data.from_pandas(df).repartition(3), ["a", "b"]
+        )
+        .set_index("column")
+    )
+    assert got.loc["a", "n"] == 5 and got.loc["a", "n_null"] == 2
+    assert got.loc["a", "min_v"] == 1.0 and got.loc["a", "max_v"] == 10.0
+    assert got.loc["a", "sum_v"] == 14.0
+    assert got.loc["b", "n_null"] == 0 and got.loc["b", "sum_v"] == 25.0
