@@ -253,6 +253,10 @@ def main() -> None:
         "asof_click_purchase",
         "range_join_click_purchase",
         "grouped_topk_user_events",
+        "quantiles_event_values",
+        "distinct_users_exact",
+        "word_doc_freq",
+        "sliding_window_counts",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
