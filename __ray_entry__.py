@@ -1047,6 +1047,18 @@ def _q_profile_lineitem(sf_dir: str):
     return out
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    """Heavy hitters (ops/heavyhitters.heavy_hitters): Misra–Gries
+    sketch pass + exact verify pass — shuffle-free, O(1/phi) state,
+    yet EXACTLY the users holding >= 0.5% of all events."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import heavyhitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavyhitters.heavy_hitters(ds, "user_id", phi=0.005)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1108,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_doc_freq": _q_word_doc_freq,
         "sliding_window_counts": _q_sliding_window_counts,
         "profile_lineitem": _q_profile_lineitem,
+        "heavy_hitter_users": _q_heavy_hitter_users,
     }
 
 
@@ -1178,6 +1191,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_exact": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        "heavy_hitter_users": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY user_id "
+            "HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM events))"
         ),
         "profile_lineitem": (
             " UNION ALL ".join(
