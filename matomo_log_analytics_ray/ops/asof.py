@@ -302,6 +302,7 @@ def range_join(
     ivl_start: str = "ts",
     ivl_id: str = "ivl_id",
     width_us: int = 24 * 3600 * 1_000_000,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Inner point-in-interval join: pairs (point_id, ivl_id) where the
     two rows share key_col and ivl_start <= point.ts < ivl_start +
@@ -338,10 +339,20 @@ def range_join(
         dup_second = np.concatenate([np.zeros(len(b), bool), b0 == b1])
         return out[~dup_second]
 
+    if num_partitions is None:
+        # size the join shuffle to the cluster: too few partitions
+        # serializes the probe-side hash tables (8 partitions took >10
+        # min on a 20M-row self-join that 32 finished in 38 s), while
+        # partitions > CPUs starve the streaming executor under small
+        # sessions (the fixed-pool deadlock, NOTES_ROUND1).
+        import ray as _ray
+
+        num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+
     p = points.map_batches(point_rows, batch_format="pandas")
     i = intervals.map_batches(ivl_rows, batch_format="pandas")
     joined = p.join(
-        i, "inner", num_partitions=8, on=(key_col, "_bucket"),
+        i, "inner", num_partitions=num_partitions, on=(key_col, "_bucket"),
         right_on=(key_col, "_bucket"),
     )
 

@@ -1,0 +1,121 @@
+"""Scale probe for the round-2 operators: run each over a 20M-row
+synthetic events table (32 shards, /tmp cache) and print wall time +
+throughput. Catches any shape that silently materializes or collapses
+to the driver at volume — sf0.1 (100k rows) cannot.
+
+Usage: python tools/scale_probe.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+N_SHARDS = 32
+CACHE = f"/tmp/mla_ray/scale_probe_v1_{N_ROWS}"
+
+
+def make_input() -> str:
+    if os.path.isdir(CACHE) and len(os.listdir(CACHE)) == N_SHARDS:
+        return CACHE
+    os.makedirs(CACHE, exist_ok=True)
+    rng = np.random.default_rng(0xABCD)
+    per = N_ROWS // N_SHARDS
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for s in range(N_SHARDS):
+        ids = np.arange(s * per, (s + 1) * per, dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": rng.integers(0, 100_000, size=per),
+                "ts": (base + rng.integers(0, 30 * 86400 * 10**6, size=per)).astype(
+                    "datetime64[us]"
+                ),
+                "event_type": rng.choice(
+                    np.array(["click", "purchase", "view", "error", "signup"]),
+                    size=per,
+                ),
+                "value": rng.uniform(0, 100, size=per),
+            }
+        )
+        df.to_parquet(f"{CACHE}/part-{s:03d}.parquet", index=False)
+    return CACHE
+
+
+def main() -> None:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    src = make_input()
+    from matomo_log_analytics_ray.ops import (
+        asof, distinct, heavyhitters, quantiles, topk,
+    )
+
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n_out = len(out) if hasattr(out, "__len__") else out.count()
+        results[name] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "rows_out": int(n_out),
+            "rows_per_sec": round(N_ROWS / (time.monotonic() - t0)),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    def read():
+        return ray.data.read_parquet(src)
+
+    timed("asof_join_self", lambda: asof.asof_join_self(
+        read(), key_col="user_id", ts_col="ts",
+        left_mask=lambda b: b["event_type"] == "click",
+        right_mask=lambda b: b["event_type"] == "purchase",
+    ).to_pandas())
+    timed("grouped_topk_k3", lambda: topk.grouped_topk(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]),
+        key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3,
+    ).to_pandas())
+    timed("quantiles", lambda: quantiles.grouped_quantiles(
+        ray.data.read_parquet(src, columns=["event_type", "value"]),
+        "event_type", "value", qs=(0.25, 0.5, 0.75, 0.9),
+    ))
+    timed("distinct_exact", lambda: distinct.distinct_counts(
+        ray.data.read_parquet(src, columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    ))
+    timed("distinct_hll", lambda: distinct.hll_distinct_counts(
+        ray.data.read_parquet(src, columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    ))
+    timed("heavy_hitters", lambda: heavyhitters.heavy_hitters(
+        ray.data.read_parquet(src, columns=["user_id"]), "user_id", phi=0.0001
+    ))
+    timed("range_join_1h", lambda: asof.range_join(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
+            lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
+        ),
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
+            lambda b: b.rename(columns={"event_id": "purchase_id"}), batch_format="pandas"
+        ),
+        key_col="user_id", point_ts="ts", point_id="click_id",
+        ivl_start="ts", ivl_id="purchase_id", width_us=3600 * 1_000_000,
+    ).count())
+
+    print(json.dumps({"n_rows": N_ROWS, "num_cpus": 32, "results": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
