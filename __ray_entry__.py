@@ -1059,6 +1059,18 @@ def _q_heavy_hitter_users(sf_dir: str):
     return heavyhitters.heavy_hitters(ds, "user_id", phi=0.005)
 
 
+def _q_prepare_training_counts(sf_dir: str):
+    """End-to-end training-data preparation (pipelines/prepare): dedup
+    semi-join -> quality + language filters -> token count -> hash
+    split -> per-split counters. The full composed flow, one gate."""
+    import ray.data
+
+    from matomo_log_analytics_ray.pipelines import prepare
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return prepare.prepare_training_data(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1121,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": _q_sliding_window_counts,
         "profile_lineitem": _q_profile_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
+        "prepare_training_counts": _q_prepare_training_counts,
     }
 
 
@@ -1192,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type"
         ),
+        "prepare_training_counts": oracle.prepare_training_counts_sql(),
         "heavy_hitter_users": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
             "GROUP BY user_id "

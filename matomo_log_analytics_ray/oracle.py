@@ -600,3 +600,67 @@ SELECT c.event_id AS click_id, p.event_id AS purchase_id
 FROM events c JOIN events p ON c.user_id = p.user_id
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
   AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL {hours} HOUR"""
+
+
+def prepare_training_counts_sql(quality_min: float = 0.3) -> str:
+    """DuckDB replay of pipelines/prepare.prepare_training_data over the
+    ``documents`` view: exact dedup (min doc_id per text) -> quality
+    score (same rounded-ratio arithmetic as ops/textstats.quality_batch)
+    -> language filter (stopword votes > 0) -> BPE-ish token count ->
+    knuth hash split -> per-split (n_docs, total_tokens)."""
+    from .ops.textstats import RE_TOKEN, STOPWORDS
+
+    def in_list(words):
+        return ", ".join(f"'{w}'" for w in sorted(words))
+
+    all_stop = STOPWORDS["en"] | STOPWORDS["es"] | STOPWORDS["pt"]
+    votes = ", ".join(
+        f"count(*) FILTER (WHERE w.w IN ({in_list(STOPWORDS[lang])})) AS v_{lang}"
+        for lang in STOPWORDS
+    )
+    return f"""
+WITH kept AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), d AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM kept)
+), w AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+    FROM d
+), v AS (
+    SELECT d.doc_id,
+           count(*) FILTER (WHERE w.w IN ({in_list(all_stop)})) AS n_stop,
+           {votes}
+    FROM d LEFT JOIN w ON w.doc_id = d.doc_id
+    GROUP BY d.doc_id
+), q AS (
+    SELECT d.doc_id,
+           LENGTH(d.text) AS n_chars,
+           len(regexp_extract_all(d.text, '\\S+')) AS n_words,
+           len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(d.text, '{RE_TOKEN}')) AS n_tokens,
+           v.n_stop, v.v_en, v.v_es, v.v_pt
+    FROM d JOIN v USING (doc_id)
+), sc AS (
+    SELECT doc_id, n_tokens, v_en, v_es, v_pt,
+           ROUND((
+               least(n_words, 100) / 100.0
+               + (1 - least(ROUND(n_punct / greatest(n_chars, 1), 6), 0.5) * 2)
+               + least(ROUND(n_stop / greatest(n_words, 1), 6), 0.5) * 2
+           ) / 3, 6) AS quality
+    FROM q
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM (
+    SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split, n_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               ((doc_id * 2654435761) % 4294967296) % 1000 AS b
+        FROM sc
+        WHERE quality >= {quality_min} AND greatest(v_en, v_es, v_pt) > 0
+    )
+)
+GROUP BY split"""

@@ -1,0 +1,92 @@
+"""End-to-end training-data preparation pipeline.
+
+The composed "documents in, training shards out" flow a training-data
+run needs (the reference's analog is its per-file load pipeline,
+/root/reference/proc/load_logs.py; this is the per-document version
+built from the repo's own operators):
+
+    read -> exact dedup (distributed semi-join against the keep-id
+    set) -> quality filter -> language filter -> token count ->
+    deterministic hash split -> [optional] partitioned parquet write
+    + per-split counters
+
+Every stage is one of the repo's gated operators; the composition adds
+no new semantics, only plumbing:
+
+* dedup keep-set join: ``Dataset.join`` on doc_id (hash-partitioned
+  semi-join) — NOT a broadcast of the keep list, which at 100 TB is
+  itself terabytes. Only (doc_id) pairs and the surviving rows move.
+* counters: per-batch partial (split, n_docs, n_tokens) rows, tiny
+  driver fold — the flagship's partial-combine pattern.
+* write: hive-partitioned by split (``split=train/...``) so a failed
+  run resumes per partition; deterministic content via the
+  deterministic split.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..ops import dedup, split as split_ops, textstats
+
+QUALITY_MIN = 0.3
+
+
+def prepare_training_data(
+    docs: "ray.data.Dataset",
+    out_dir: str | None = None,
+    quality_min: float = QUALITY_MIN,
+    fractions: dict[str, float] | None = None,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Run the full preparation flow; returns the per-split counters
+    (split, n_docs, total_tokens). If ``out_dir`` is given, also writes
+    the surviving rows as parquet partitioned by split."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+
+    keep = dedup.exact_dedup_keep_ids(docs)
+    surviving = docs.join(
+        keep, "inner", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("doc_id",),
+    )
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        q = textstats.quality_batch(b)
+        q = textstats.langid_batch(q)
+        q = q[(q["quality_score"] >= quality_min) & (q["lang_pred"] != "und")]
+        return textstats.token_count_batch(q)
+
+    enriched = split_ops.hash_split(
+        surviving.map_batches(enrich, batch_format="pandas"),
+        "doc_id",
+        fractions,
+        bucket_fn=split_ops.knuth_bucket,
+    )
+
+    if out_dir is not None:
+        enriched.write_parquet(out_dir, partition_cols=["split"])
+        # the write consumed the graph; counters below re-execute the
+        # lazy chain — acceptable for the demo path, but callers that
+        # need both at scale should fold counters into the write task
+        # (the flagship single-pass pattern, pipelines/flagship.py)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("split", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+        )
+        return g
+
+    out = (
+        enriched.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("split", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"))
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out
