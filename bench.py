@@ -257,6 +257,8 @@ def main() -> None:
         "distinct_users_exact",
         "word_doc_freq",
         "sliding_window_counts",
+        "heavy_hitter_users",
+        "prepare_training_counts",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
