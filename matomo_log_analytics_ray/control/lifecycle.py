@@ -83,3 +83,75 @@ def clean_completed(
     r5 = files_to_remove(rollup, collection, dir_r5, "csv", prefix="r5-metrics-")
     removed = remove(r5)
     return {"archived": archived, "removed": removed}
+
+
+def compact_partitions(
+    out_dir: str, target_rows_per_file: int = 1_000_000
+) -> dict[str, tuple[int, int]]:
+    """Coalesce the small files a shuffle-free routed write leaves
+    behind (stages/route.write_routed: file count = write tasks x sinks
+    touched) into ~target_rows_per_file files per partition directory.
+
+    One Ray task PER PARTITION DIRECTORY (sink=<k>/...), so compaction
+    parallelizes across partitions and never shuffles rows between
+    them. Each task streams its files through a ParquetWriter (memory
+    is one row-group, not the partition), writes ``compact-*.tmp``
+    files, then renames them and deletes the originals — a crash leaves
+    either the old files intact or both (rerun cleans up); it never
+    loses rows. Returns {partition: (files_before, files_after)}.
+    """
+    import ray
+
+    part_dirs = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)) and "=" in d
+    )
+
+    @ray.remote
+    def compact_one(pdir: str) -> tuple[str, int, int]:
+        import pyarrow.parquet as pq
+
+        old = sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith("compact-")
+        )
+        # leftover tmp files from a crashed run
+        for f in os.listdir(pdir):
+            if f.endswith(".tmp"):
+                os.unlink(os.path.join(pdir, f))
+        if len(old) <= 1:
+            return os.path.basename(pdir), len(old), len(old)
+        schema = pq.read_schema(old[0])
+        writer = None
+        out_idx = rows_in_file = 0
+        tmp_files: list[str] = []
+
+        def roll():
+            nonlocal writer, out_idx, rows_in_file
+            if writer is not None:
+                writer.close()
+            path = os.path.join(pdir, f"compact-{out_idx:05d}.parquet.tmp")
+            tmp_files.append(path)
+            writer = pq.ParquetWriter(path, schema)
+            out_idx += 1
+            rows_in_file = 0
+
+        roll()
+        for f in old:
+            pf = pq.ParquetFile(f)
+            for batch in pf.iter_batches():
+                if rows_in_file >= target_rows_per_file:
+                    roll()
+                writer.write_batch(batch)
+                rows_in_file += batch.num_rows
+        writer.close()
+        for t in tmp_files:
+            os.rename(t, t[: -len(".tmp")])
+        for f in old:
+            os.unlink(f)
+        return os.path.basename(pdir), len(old), len(tmp_files)
+
+    results = ray.get([compact_one.remote(d) for d in part_dirs])
+    return {name: (before, after) for name, before, after in results}

@@ -58,3 +58,33 @@ def test_prepare_counts_and_write(tmp_path):
     assert 290 not in written["doc_id"].tolist()
     kept_dups = [i for i in range(50) if i + 250 in written["doc_id"].tolist()]
     assert kept_dups == []  # min doc_id wins, the 250+ copy never survives
+
+
+def test_compact_partitions_preserves_rows(tmp_path):
+    from matomo_log_analytics_ray.control import lifecycle
+    from matomo_log_analytics_ray.stages import route
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame(
+        {
+            "sink": rng.choice(["a", "b"], size=4000),
+            "x": np.arange(4000, dtype=np.int64),
+        }
+    )
+    out = str(tmp_path / "routed")
+    route.write_routed(ray.data.from_pandas(df).repartition(8), out)
+    before = pq.ParquetDataset(out).read().to_pandas()
+    n_files_before = len(glob.glob(f"{out}/sink=*/*.parquet"))
+    stats = lifecycle.compact_partitions(out, target_rows_per_file=10_000)
+    after = pq.ParquetDataset(out).read().to_pandas()
+    n_files_after = len(glob.glob(f"{out}/sink=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert n_files_after == 2  # one compacted file per sink at this size
+    pd.testing.assert_frame_equal(
+        before.sort_values("x").reset_index(drop=True),
+        after.sort_values("x").reset_index(drop=True),
+    )
+    assert all(b >= a for _, (b, a) in stats.items())
+    # idempotent: a second compaction is a no-op
+    stats2 = lifecycle.compact_partitions(out, target_rows_per_file=10_000)
+    assert all(b == a for _, (b, a) in stats2.items())
