@@ -7,10 +7,11 @@ gap/user-change flags — instead of ``groupby(user).map_groups`` (which
 pays ~1 ms of Ray per group; at 10^8 users that is days). Same
 interior/edge discipline as ops/dedup.sorted_group_counts: users fully
 interior to a block are sessionized in-block; the first/last user of
-every block may straddle a boundary, so their raw (user, ts) rows are
-forwarded to one final merge pass (<= 2 users per block — sessions are
-order-sensitive, so edge rows cannot be pre-reduced further; a single
-user dominating the whole input is the one skew case this funnels).
+every block may straddle a boundary, so their rows are PRE-REDUCED to
+per-session partials (user, start, end, n) — O(sessions) per block, not
+O(rows) — and one merge pass stitches partials whose boundary gap is
+<= gap_s. A single user dominating the whole input therefore funnels
+only its session partials through the merge, never its raw events.
 """
 
 from __future__ import annotations
@@ -22,18 +23,21 @@ import ray.data
 
 DEFAULT_GAP_S = 30 * 60.0
 
+_COLS = ["user_id", "session_idx", "session_start", "n_events"]
 
-def _sessions_vec(user: np.ndarray, ts: pd.Series, gap_s: float) -> pd.DataFrame:
-    """Vectorized sessionization of rows already sorted by (user, ts).
-    Returns one row per session: (user_id, session_idx, session_start,
-    n_events); session_idx is 0-based per user in time order."""
+
+def _session_partials(
+    user: np.ndarray, ts: pd.Series, gap_s: float
+) -> pd.DataFrame:
+    """Rows sorted by (user, ts) -> one row per maximal in-block
+    session: (user_id, session_start, session_end, n_events)."""
     n = len(user)
     if n == 0:
         return pd.DataFrame(
             {
                 "user_id": user,
-                "session_idx": pd.Series([], dtype="int64"),
                 "session_start": ts.reset_index(drop=True),
+                "session_end": ts.reset_index(drop=True),
                 "n_events": pd.Series([], dtype="int64"),
             }
         )
@@ -44,18 +48,59 @@ def _sessions_vec(user: np.ndarray, ts: pd.Series, gap_s: float) -> pd.DataFrame
     new_sess[1:] |= gap[1:] > gap_s
     starts = np.flatnonzero(new_sess)
     ends = np.append(starts[1:], n)
+    tsv = ts.to_numpy()
+    return pd.DataFrame(
+        {
+            "user_id": user[starts],
+            "session_start": tsv[starts],
+            "session_end": tsv[ends - 1],
+            "n_events": (ends - starts).astype("int64"),
+        }
+    )
+
+
+def _finalize(partials: pd.DataFrame, gap_s: float) -> pd.DataFrame:
+    """Merge time-adjacent session partials (same user, boundary gap
+    <= gap_s) and assign 0-based per-user session_idx. Partials must
+    cover disjoint time ranges per user (guaranteed by the range
+    sort), so ordering by (user, start) reconstructs event order."""
+    if len(partials) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": partials["user_id"],
+                "session_idx": pd.Series([], dtype="int64"),
+                "session_start": partials["session_start"],
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+    p = partials.sort_values(["user_id", "session_start"], kind="mergesort")
+    user = p["user_id"].to_numpy()
+    start = p["session_start"].to_numpy()
+    end = p["session_end"].to_numpy()
+    n = len(p)
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = user[1:] != user[:-1]
+    bgap = (
+        (start[1:] - end[:-1]).astype("timedelta64[us]").astype(np.int64)
+        / 1e6
+    )
+    new_sess = new_user.copy()
+    new_sess[1:] |= bgap > gap_s
+    sid = np.cumsum(new_sess) - 1
+    starts = np.flatnonzero(new_sess)
     s_user = user[starts]
     nsess = len(starts)
     sess_new_user = new_user[starts]
     first_idx = np.maximum.accumulate(
         np.where(sess_new_user, np.arange(nsess), 0)
     )
+    n_events = np.bincount(sid, weights=p["n_events"].to_numpy()).astype("int64")
     return pd.DataFrame(
         {
             "user_id": s_user,
             "session_idx": (np.arange(nsess) - first_idx).astype("int64"),
-            "session_start": ts.to_numpy()[starts],
-            "n_events": (ends - starts).astype("int64"),
+            "session_start": start[starts],
+            "n_events": n_events,
         }
     )
 
@@ -74,7 +119,7 @@ def sessionize(
         user = b[user_col].to_numpy()
         ts = b[ts_col]
         if n == 0:
-            out = _sessions_vec(user, ts, gap_s)
+            out = _session_partials(user, ts, gap_s)
             out["kind"] = pd.Series([], dtype=object)
             return out
         change = np.ones(n, dtype=bool)
@@ -82,52 +127,41 @@ def sessionize(
         run_id = np.cumsum(change) - 1
         last = run_id[-1]
         starts = np.flatnonzero(change)
-        # interior users: runs 1..last-1 (a contiguous row range)
+        # interior users: runs 1..last-1 (a contiguous row range) —
+        # complete in-block, so their partials are final sessions
         lo, hi = (starts[1], starts[last]) if last >= 2 else (0, 0)
-        done = _sessions_vec(
+        done = _session_partials(
             user[lo:hi], ts.iloc[lo:hi].reset_index(drop=True), gap_s
         )
         done["kind"] = "done"
-        # edge users: raw (user, ts) rows forwarded (ts rides in
-        # session_start to keep one schema)
-        edge_mask = (run_id == 0) | (run_id == last)
-        edges = pd.DataFrame(
-            {
-                "user_id": user[edge_mask],
-                "session_idx": np.int64(-1),
-                "session_start": ts.to_numpy()[edge_mask],
-                "n_events": np.int64(0),
-                "kind": "edge",
-            }
-        )
-        return pd.concat([done, edges], ignore_index=True)
+        # edge users (first/last run): pre-reduce to per-session
+        # partials — O(sessions), even when one user spans every block
+        frames = [done]
+        for r in ([0] if last == 0 else [0, last]):
+            elo, ehi = starts[r], (starts[r + 1] if r + 1 <= last else n)
+            edge = _session_partials(
+                user[elo:ehi], ts.iloc[elo:ehi].reset_index(drop=True), gap_s
+            )
+            edge["kind"] = "edge"
+            frames.append(edge)
+        return pd.concat(frames, ignore_index=True)
 
     tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
-    done = tagged.map_batches(
-        lambda b: b[b["kind"] == "done"][
-            ["user_id", "session_idx", "session_start", "n_events"]
-        ],
-        batch_format="pandas",
-    )
 
-    def edge_sessions(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return b[["user_id", "session_idx", "session_start", "n_events"]]
-        b = b.sort_values(["user_id", "session_start"], kind="mergesort")
-        return _sessions_vec(
-            b["user_id"].to_numpy(),
-            b["session_start"].reset_index(drop=True),
-            gap_s,
-        )
+    def done_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["kind"] == "done"]
+        return _finalize(d, gap_s)
+
+    done = tagged.map_batches(done_rows, batch_format="pandas")
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["kind"] == "edge"][
+            ["user_id", "session_start", "session_end", "n_events"]
+        ]
 
     edges = (
-        tagged.map_batches(
-            lambda b: b[b["kind"] == "edge"][
-                ["user_id", "session_idx", "session_start", "n_events"]
-            ],
-            batch_format="pandas",
-        )
+        tagged.map_batches(edge_rows, batch_format="pandas")
         .repartition(1)
-        .map_batches(edge_sessions, batch_format="pandas")
+        .map_batches(lambda b: _finalize(b, gap_s), batch_format="pandas")
     )
     return done.union(edges)
