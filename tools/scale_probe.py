@@ -18,9 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pandas as pd
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+SKEW = "--skew" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_ROWS = int(_args[0]) if _args else 20_000_000
 N_SHARDS = 32
-CACHE = f"/tmp/mla_ray/scale_probe_v1_{N_ROWS}"
+CACHE = f"/tmp/mla_ray/scale_probe_v1_{N_ROWS}{'_skew' if SKEW else ''}"
+
+
+def _users(rng, per):
+    if not SKEW:
+        return rng.integers(0, 100_000, size=per)
+    # Zipf-skewed keys: user 0 takes ~15% of ALL rows (a hot key
+    # spanning every block after the range sort — the funnel case the
+    # edge pre-reductions exist for), the rest Zipf over 100k users
+    z = rng.zipf(1.3, size=per) % 100_000
+    hot = rng.random(per) < 0.15
+    z[hot] = 0
+    return z.astype(np.int64)
 
 
 def make_input() -> str:
@@ -35,7 +49,7 @@ def make_input() -> str:
         df = pd.DataFrame(
             {
                 "event_id": ids,
-                "user_id": rng.integers(0, 100_000, size=per),
+                "user_id": _users(rng, per),
                 "ts": (base + rng.integers(0, 30 * 86400 * 10**6, size=per)).astype(
                     "datetime64[us]"
                 ),
@@ -59,7 +73,7 @@ def main() -> None:
                  log_to_driver=False)
     src = make_input()
     from matomo_log_analytics_ray.ops import (
-        asof, distinct, heavyhitters, quantiles, topk,
+        asof, distinct, heavyhitters, quantiles, sessionize, topk,
     )
 
     results = {}
@@ -102,6 +116,9 @@ def main() -> None:
     timed("heavy_hitters", lambda: heavyhitters.heavy_hitters(
         ray.data.read_parquet(src, columns=["user_id"]), "user_id", phi=0.0001
     ))
+    timed("sessionize_30min", lambda: sessionize.sessionize(
+        ray.data.read_parquet(src, columns=["user_id", "ts"])
+    ).count())
     timed("range_join_1h", lambda: asof.range_join(
         ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
             lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
