@@ -16,6 +16,9 @@ no new semantics, only plumbing:
 * dedup keep-set join: ``Dataset.join`` on doc_id (hash-partitioned
   semi-join) — NOT a broadcast of the keep list, which at 100 TB is
   itself terabytes. Only (doc_id) pairs and the surviving rows move.
+  When the probe side is much larger than the build side, cut its
+  shuffle volume first with ``ops/bloom`` (build_bloom + prefilter —
+  false positives only, so the exact join result is unchanged).
 * counters: per-batch partial (split, n_docs, n_tokens) rows, tiny
   driver fold — the flagship's partial-combine pattern.
 * write: hive-partitioned by split (``split=train/...``) so a failed
