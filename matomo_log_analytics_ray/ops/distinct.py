@@ -50,12 +50,15 @@ def distinct_counts(
         g.columns = [group_col, "n_distinct"]
         return g
 
-    out = (
-        distinct_pairs.map_batches(per_group_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby(group_col, as_index=False)["n_distinct"]
-        .sum()
-    )
+    out = distinct_pairs.map_batches(
+        per_group_partial, batch_format="pandas"
+    ).to_pandas()
+    if len(out) == 0:  # empty input: to_pandas drops the schema
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "n_distinct": pd.Series([], dtype="int64")}
+        )
+    out = out.groupby(group_col, as_index=False)["n_distinct"].sum()
     out["n_distinct"] = out["n_distinct"].astype("int64")
     return out
 
@@ -105,6 +108,11 @@ def hll_distinct_counts(
         return pd.concat(frames, ignore_index=True)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # empty input: to_pandas drops the schema
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "n_distinct_est": pd.Series([], dtype="int64")}
+        )
     alpha = 0.7213 / (1 + 1.079 / m)
     rows = []
     for g, grp in parts.groupby(group_col, sort=False):

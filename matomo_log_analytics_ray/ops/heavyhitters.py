@@ -72,6 +72,10 @@ def heavy_hitters(
         return pd.concat([out, total_row], ignore_index=True)
 
     parts = ds.map_batches(sketch_partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # empty input: to_pandas drops the schema
+        return pd.DataFrame(
+            {col: pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
     total = int(parts.loc[parts["kind"] == "t", "n"].sum())
     merged = parts[parts["kind"] == "c"].groupby(col)["n"].sum()
     candidates = _truncate(merged, k).index.tolist()

@@ -88,11 +88,15 @@ def grouped_quantiles(
         g.columns = [group_col, "n", "lo", "hi"]
         return g
 
-    stats = (
-        ds.map_batches(stats_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby(group_col, as_index=False)
-        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    stats = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    if len(stats) == 0:  # empty input: to_pandas drops the schema
+        return pd.DataFrame(
+            {group_col: pd.Series([], dtype=object),
+             "q": pd.Series([], dtype="float64"),
+             "value": pd.Series([], dtype="float64")}
+        )
+    stats = stats.groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
     )
 
     targets: list[dict] = []

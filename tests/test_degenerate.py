@@ -1,0 +1,110 @@
+"""Degenerate-input sweep for the round-2 operators: empty and
+single-row datasets must return empty/trivial results, not crash —
+a pipeline over a sparse shard sees exactly these shapes."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from matomo_log_analytics_ray.ops import (
+    asof,
+    distinct,
+    heavyhitters,
+    quantiles,
+    sessionize,
+    topk,
+)
+
+
+def _empty_events():
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "event_id": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def _one_event():
+    return pd.DataFrame(
+        {
+            "user_id": np.array([1], dtype=np.int64),
+            "ts": [pd.Timestamp("2024-01-01")],
+            "event_id": np.array([7], dtype=np.int64),
+        }
+    )
+
+
+def test_asof_empty_and_single():
+    for df in (_empty_events(), _one_event()):
+        out = asof.asof_join(
+            ray.data.from_pandas(df),
+            ray.data.from_pandas(
+                _empty_events().rename(columns={"event_id": "asof_event_id"})
+            ),
+            key_col="user_id", ts_col="ts",
+            left_id="event_id", right_id="asof_event_id",
+        ).to_pandas()
+        assert len(out) == 0  # no right rows -> inner as-of is empty
+
+
+def test_grouped_topk_empty_and_single():
+    assert (
+        len(
+            topk.grouped_topk(
+                ray.data.from_pandas(_empty_events()),
+                key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3,
+            ).to_pandas()
+        )
+        == 0
+    )
+    one = topk.grouped_topk(
+        ray.data.from_pandas(_one_event()),
+        key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3,
+    ).to_pandas()
+    assert one["event_id"].tolist() == [7]
+
+
+def test_quantiles_empty_and_single():
+    empty = quantiles.grouped_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"g": pd.Series([], dtype=object),
+                                           "v": pd.Series([], dtype="float64")})),
+        "g", "v", qs=(0.5,),
+    )
+    assert len(empty) == 0
+    one = quantiles.grouped_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"g": ["a"], "v": [3.5]})),
+        "g", "v", qs=(0.25, 0.9),
+    )
+    assert one["value"].tolist() == [3.5, 3.5]
+
+
+def test_distinct_and_hll_empty_and_single():
+    e = pd.DataFrame({"g": pd.Series([], dtype=object),
+                      "v": pd.Series([], dtype="int64")})
+    assert len(distinct.distinct_counts(ray.data.from_pandas(e), "g", "v")) == 0
+    assert len(distinct.hll_distinct_counts(ray.data.from_pandas(e), "g", "v")) == 0
+    s = pd.DataFrame({"g": ["x"], "v": [1]})
+    assert distinct.distinct_counts(
+        ray.data.from_pandas(s), "g", "v"
+    )["n_distinct"].tolist() == [1]
+    assert distinct.hll_distinct_counts(
+        ray.data.from_pandas(s), "g", "v"
+    )["n_distinct_est"].tolist() == [1]
+
+
+def test_heavy_hitters_empty_and_single():
+    e = pd.DataFrame({"v": pd.Series([], dtype="int64")})
+    assert len(heavyhitters.heavy_hitters(ray.data.from_pandas(e), "v")) == 0
+    s = pd.DataFrame({"v": np.array([5], dtype=np.int64)})
+    out = heavyhitters.heavy_hitters(ray.data.from_pandas(s), "v", phi=0.5)
+    assert out["v"].tolist() == [5] and out["n"].tolist() == [1]
+
+
+def test_sessionize_empty_and_single():
+    e = _empty_events()[["user_id", "ts"]]
+    assert len(sessionize.sessionize(ray.data.from_pandas(e)).to_pandas()) == 0
+    s = _one_event()[["user_id", "ts"]]
+    out = sessionize.sessionize(ray.data.from_pandas(s)).to_pandas()
+    assert out["n_events"].tolist() == [1] and out["session_idx"].tolist() == [0]
