@@ -141,6 +141,34 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """Training-data preparation: dedup -> quality/lang filter ->
+    tokenize -> split -> partitioned parquet (pipelines/prepare)."""
+    import ray.data
+
+    from .pipelines import prepare
+
+    _ensure_ray()
+    docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+    counts = prepare.prepare_training_data(
+        docs, out_dir=args.out, quality_min=args.quality_min
+    )
+    for _, r in counts.iterrows():
+        print(f"{r['split']}: {r['n_docs']} docs, {r['total_tokens']} tokens")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Coalesce small files in a partitioned output directory."""
+    from .control import lifecycle as gc
+
+    _ensure_ray()
+    stats = gc.compact_partitions(args.dir, target_rows_per_file=args.target_rows)
+    for part, (before, after) in sorted(stats.items()):
+        print(f"{part}: {before} -> {after} files")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="matomo_log_analytics_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +204,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--archive", required=True)
     sp.add_argument("--r5", required=True)
     sp.set_defaults(fn=cmd_clean)
+
+    sp = sub.add_parser(
+        "prep", help="training-data preparation (dedup/filter/tokenize/split)"
+    )
+    sp.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    sp.add_argument("--out", required=True, help="output dir (partitioned by split)")
+    sp.add_argument("--quality_min", type=float, default=0.3)
+    sp.set_defaults(fn=cmd_prep)
+
+    sp = sub.add_parser("compact", help="coalesce small files per partition dir")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--target_rows", type=int, default=1_000_000)
+    sp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -39,3 +39,30 @@ def test_init_discover_load_roundtrip(tmp_path):
     assert os.path.isdir(os.path.join(out, "_journal"))
     roll = pd.read_parquet(os.path.join(ctl, "date_status.parquet"))
     assert set(roll.columns) >= {"collection", "date", "status"}
+
+
+def test_prep_and_compact_commands(tmp_path):
+    import numpy as np
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [
+                "the data and the model of the train value " * 3 + f"tail{i}"
+                for i in range(200)
+            ],
+        }
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.to_parquet(dpath, index=False)
+    out = str(tmp_path / "prepared")
+    assert cli.main(["prep", "--docs", dpath, "--out", out]) == 0
+    import glob
+
+    files = glob.glob(f"{out}/split=*/*.parquet")
+    assert files
+    assert cli.main(["compact", "--dir", out, "--target_rows", "100000"]) == 0
+    after = glob.glob(f"{out}/split=*/*.parquet")
+    assert len(after) <= len(files)
+    total = sum(pd.read_parquet(f).shape[0] for f in after)
+    assert total == 200  # unique texts, all prose: nothing dropped
