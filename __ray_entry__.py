@@ -1071,6 +1071,66 @@ def _q_prepare_training_counts(sf_dir: str):
     return prepare.prepare_training_data(docs)
 
 
+def _q_jsonl_events_agg(sf_dir: str):
+    """JSON-lines source (S-family widening): ray.data.read_json over a
+    gzip JSONL twin of the events table, then the standard
+    partial-combine grouped aggregate. Exercises the JSON ingest path
+    end-to-end against DuckDB's read_json of the plain twin."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+
+    _, gz = datagen.jsonl_events_paths(sf_dir)
+    ds = ray.data.read_json(gz, arrow_open_stream_args={"compression": "gzip"})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).agg(
+            n=("event_id", "size"), sum_value=("value", "sum")
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(3)
+    return out
+
+
+def _q_csv_events_agg(sf_dir: str):
+    """Delimited-text source: ray.data.read_csv over a gzip CSV twin of
+    the events table, partial-combine grouped min/max aggregate."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray import datagen
+
+    _, gz = datagen.csv_events_paths(sf_dir)
+    ds = ray.data.read_csv(gz, arrow_open_stream_args={"compression": "gzip"})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            n=("event_id", "size"), min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), min_value=("min_value", "min"),
+             max_value=("max_value", "max"))
+    )
+    out["n"] = out["n"].astype("int64")
+    out["min_value"] = out["min_value"].round(6)
+    out["max_value"] = out["max_value"].round(6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1134,6 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "prepare_training_counts": _q_prepare_training_counts,
+        "s7_jsonl_events_agg": _q_jsonl_events_agg,
+        "s8_csv_events_agg": _q_csv_events_agg,
     }
 
 
@@ -1309,6 +1371,21 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "parse_format_counts": oracle.format_counts_sql(src),
         "parse_log_ts": oracle.log_ts_sql(src),
         "s6_rawlog_format_counts": oracle.rawlog_format_counts_sql(datagen.rawlog_paths()[0]),
+        "s7_jsonl_events_agg": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(value), 3) AS sum_value FROM read_json("
+            f"'{datagen.jsonl_events_paths(SF001)[0]}', "
+            "format='newline_delimited', columns={"
+            "'event_id': 'BIGINT', 'user_id': 'BIGINT', 'ts_us': 'BIGINT', "
+            "'event_type': 'VARCHAR', 'value': 'DOUBLE'}) "
+            "GROUP BY event_type"
+        ),
+        "s8_csv_events_agg": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value "
+            f"FROM read_csv('{datagen.csv_events_paths(SF001)[0]}', header=true) "
+            "GROUP BY event_type"
+        ),
         "flagship_sink_hourly": oracle.sink_hourly_sql(src),
         "m8_date_extract": oracle.date_extract_sql(lpath),
         "o1_recent_events": (

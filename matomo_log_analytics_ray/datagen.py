@@ -581,3 +581,65 @@ def sf_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our sf key."""
     base = os.path.basename(os.path.normpath(sf_dir))
     return base if base in SF_TURNS else "sf0.01"
+
+def jsonl_events_paths(sf_dir: str) -> tuple[str, str]:
+    """Deterministic JSONL twin of {sf_dir}/events.parquet (plus a gzip
+    copy): the JSON-lines ingest fixture. One JSON object per line with
+    ts as epoch microseconds (lossless round-trip). The engine reads
+    the COMPRESSED twin via ray.data.read_json; the DuckDB oracle reads
+    the plain twin — identical content."""
+    import gzip
+    import json as _json
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(CACHE_DIR, f"events_jsonl_v1_{key}")
+    plain, gz = base + ".jsonl", base + ".jsonl.gz"
+    if not (os.path.exists(plain) and os.path.exists(gz)):
+        df = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        lines = [
+            _json.dumps(
+                {
+                    "event_id": int(r.event_id),
+                    "user_id": int(r.user_id),
+                    "ts_us": int(r.ts_us),
+                    "event_type": r.event_type,
+                    "value": float(r.value),
+                },
+                separators=(",", ":"),
+            )
+            for r in df.itertuples()
+        ]
+        data = "\n".join(lines) + "\n"
+        tmp = plain + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, plain)
+        tmp = gz + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            f.write(data)
+        os.replace(tmp, gz)
+    return plain, gz
+
+def csv_events_paths(sf_dir: str) -> tuple[str, str]:
+    """Deterministic CSV twin of {sf_dir}/events.parquet (plus gzip
+    copy) — the delimited-text ingest fixture (ts as epoch micros)."""
+    import gzip
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(CACHE_DIR, f"events_csv_v1_{key}")
+    plain, gz = base + ".csv", base + ".csv.gz"
+    if not (os.path.exists(plain) and os.path.exists(gz)):
+        df = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+        df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        out = df[["event_id", "user_id", "ts_us", "event_type", "value"]]
+        tmp = plain + ".tmp"
+        out.to_csv(tmp, index=False)
+        os.replace(tmp, plain)
+        tmp = gz + ".tmp"
+        with open(plain, "rb") as src, gzip.open(tmp, "wb") as dst:
+            dst.write(src.read())
+        os.replace(tmp, gz)
+    return plain, gz
