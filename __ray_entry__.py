@@ -827,20 +827,25 @@ def _q_conv_turn_counts(sf_dir: str):
 
 
 def _events_side(sf_dir: str, event_type: str, id_name: str):
-    """Pruned (user_id, ts, <id_name>) projection of one event type."""
+    """Pruned (user_id, ts, <id_name>) projection of one event type —
+    the type predicate is PUSHED INTO THE READ (row-group statistics +
+    dictionary filtering at the scan), so non-matching rows never
+    leave storage."""
     import pandas as pd
+    import pyarrow.dataset as pads
     import ray.data
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        sel = b[b["event_type"] == event_type]
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"user_id": sel["user_id"], "ts": sel["ts"], id_name: sel["event_id"]}
+            {"user_id": b["user_id"], "ts": b["ts"], id_name: b["event_id"]}
         )
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == event_type,
     )
-    return ds.map_batches(pick, batch_format="pandas")
+    return ds.map_batches(rename, batch_format="pandas")
 
 
 def _q_asof_click_purchase(sf_dir: str):
