@@ -64,6 +64,69 @@ def make_input() -> str:
     return CACHE
 
 
+ANN = "--ann" in sys.argv
+ANN_ROWS = 1_000_000
+ANN_DIM = 64
+ANN_CACHE = f"/tmp/mla_ray/scale_probe_ann_v1_{ANN_ROWS}x{ANN_DIM}"
+
+
+def make_ann_input() -> str:
+    n_shards = 16
+    if os.path.isdir(ANN_CACHE) and len(os.listdir(ANN_CACHE)) == n_shards:
+        return ANN_CACHE
+    os.makedirs(ANN_CACHE, exist_ok=True)
+    rng = np.random.default_rng(0xE1B)
+    per = ANN_ROWS // n_shards
+    for s in range(n_shards):
+        vecs = rng.normal(size=(per, ANN_DIM)).astype(np.float32)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(s * per, (s + 1) * per, dtype=np.int64),
+                "embedding": list(vecs),
+            }
+        )
+        df.to_parquet(f"{ANN_CACHE}/part-{s:03d}.parquet", index=False)
+    return ANN_CACHE
+
+
+def main_ann() -> None:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    src = make_ann_input()
+    from matomo_log_analytics_ray.ops import similarity
+
+    rng = np.random.default_rng(7)
+    qids = np.arange(4, dtype=np.int64)
+    qvecs = rng.normal(size=(4, ANN_DIM))
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        results[name] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "rows_out": int(len(out)),
+            "vecs_per_sec": round(ANN_ROWS / (time.monotonic() - t0)),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    def read():
+        return ray.data.read_parquet(src)
+
+    timed("brute_force_topk", lambda: similarity.brute_force_topk(
+        read(), qids, qvecs, k=10))
+    timed("ivf_topk_nprobe4", lambda: similarity.ivf_topk(
+        read(), qids, qvecs, k=10, nlist=64, nprobe=4))
+    timed("lsh_topk_10bit", lambda: similarity.lsh_topk(
+        read(), qids, qvecs, k=10, n_bits=10))
+    print(json.dumps({"n_vecs": ANN_ROWS, "dim": ANN_DIM, "results": results}))
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
     import ray.data
@@ -135,4 +198,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_ann() if ANN else main()
