@@ -1136,6 +1136,19 @@ def _q_csv_events_agg(sf_dir: str):
     return out
 
 
+def _q_lm_doc_scores(sf_dir: str):
+    """Unigram LM quality scoring (ops/lmscore): corpus term counts
+    via sorted-run machinery -> top-1000 vocab -> broadcast log-prob
+    table -> vectorized per-doc mean log-prob. Three streaming passes,
+    K rows to the driver."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import lmscore
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lmscore.unigram_logprob_scores(ds, vocab_k=1000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1201,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_counts": _q_prepare_training_counts,
         "s7_jsonl_events_agg": _q_jsonl_events_agg,
         "s8_csv_events_agg": _q_csv_events_agg,
+        "lm_doc_scores": _q_lm_doc_scores,
     }
 
 
@@ -1273,6 +1287,19 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct FROM events GROUP BY event_type"
         ),
         "prepare_training_counts": oracle.prepare_training_counts_sql(),
+        "lm_doc_scores": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all("
+            "  lower(coalesce(text, '')), '[a-z0-9]+')) AS w FROM documents), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w), "
+            "vocab AS (SELECT w, count(*) AS c FROM w GROUP BY w "
+            "  ORDER BY c DESC, w LIMIT 1000), "
+            "lp AS (SELECT w, ln(c / (SELECT n FROM tot)) AS logp FROM vocab), "
+            "scored AS (SELECT w.doc_id, "
+            "  avg(coalesce(lp.logp, ln(1.0 / (SELECT n FROM tot)))) AS s "
+            "  FROM w LEFT JOIN lp ON w.w = lp.w GROUP BY w.doc_id) "
+            "SELECT d.doc_id, ROUND(coalesce(s, ln(1.0 / (SELECT n FROM tot))), 6) "
+            "AS lm_score FROM documents d LEFT JOIN scored USING (doc_id)"
+        ),
         "heavy_hitter_users": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
             "GROUP BY user_id "

@@ -112,3 +112,29 @@ def test_profile_columns_nulls_and_partials():
     assert got.loc["a", "min_v"] == 1.0 and got.loc["a", "max_v"] == 10.0
     assert got.loc["a", "sum_v"] == 14.0
     assert got.loc["b", "n_null"] == 0 and got.loc["b", "sum_v"] == 25.0
+
+
+def test_unigram_lm_scores():
+    from matomo_log_analytics_ray.ops import lmscore
+
+    rng = np.random.default_rng(81)
+    common = ["the", "data", "model", "train", "value", "and", "of"]
+    texts = [" ".join(rng.choice(common, size=30)) for _ in range(200)]
+    texts.append("zzqx vvkw qqpl mmtr xxyz")  # gibberish: all OOV-ish
+    df = pd.DataFrame(
+        {"doc_id": np.arange(201, dtype=np.int64), "text": texts}
+    )
+    outs = []
+    for nblocks in (1, 6):
+        got = (
+            lmscore.unigram_logprob_scores(
+                ray.data.from_pandas(df).repartition(nblocks), vocab_k=5
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    scores = outs[0].set_index("doc_id")["lm_score"]
+    assert scores[200] < scores[:200].min()  # gibberish scores lowest
