@@ -1149,6 +1149,51 @@ def _q_lm_doc_scores(sf_dir: str):
     return lmscore.unigram_logprob_scores(ds, vocab_k=1000)
 
 
+def _q_outlier_events(sf_dir: str):
+    """Grouped z-score outlier detection: one pass of per-block moment
+    partials (n, sum, sum-of-squares per type — O(groups) rows/block),
+    driver fold to (mean, std), broadcast, then a vectorized flagging
+    pass. The data-quality screen before training ingestion."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), sv=("value", "sum"),
+        )
+        g["svv"] = b.groupby("event_type")["value"].apply(lambda v: (v * v).sum()).to_numpy()
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    st = (
+        ds.map_batches(moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n=("n", "sum"), sv=("sv", "sum"), svv=("svv", "sum"))
+    )
+    st["mean"] = st["sv"] / st["n"]
+    st["std"] = np.sqrt(st["svv"] / st["n"] - st["mean"] * st["mean"])
+    stats = {r.event_type: (r.mean, r.std) for r in st.itertuples()}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        mean = b["event_type"].map({k: v[0] for k, v in stats.items()}).to_numpy()
+        std = b["event_type"].map({k: v[1] for k, v in stats.items()}).to_numpy()
+        z = (b["value"].to_numpy() - mean) / std
+        keep = np.abs(z) >= 1.5
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy()[keep],
+                "event_type": b["event_type"].to_numpy()[keep],
+                "z": np.round(z[keep], 3),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -1215,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s7_jsonl_events_agg": _q_jsonl_events_agg,
         "s8_csv_events_agg": _q_csv_events_agg,
         "lm_doc_scores": _q_lm_doc_scores,
+        "outlier_events": _q_outlier_events,
     }
 
 
@@ -1287,6 +1333,14 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct FROM events GROUP BY event_type"
         ),
         "prepare_training_counts": oracle.prepare_training_counts_sql(),
+        "outlier_events": (
+            "WITH s AS (SELECT event_type, count(*) AS n, SUM(value) AS sv, "
+            "  SUM(value * value) AS svv FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "ROUND((e.value - sv / n) / sqrt(svv / n - (sv / n) * (sv / n)), 3) AS z "
+            "FROM events e JOIN s USING (event_type) "
+            "WHERE abs((e.value - sv / n) / sqrt(svv / n - (sv / n) * (sv / n))) >= 1.5"
+        ),
         "lm_doc_scores": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all("
             "  lower(coalesce(text, '')), '[a-z0-9]+')) AS w FROM documents), "
