@@ -289,6 +289,43 @@ def _q_j2_orders_semi_join(sf_dir: str):
     )
 
 
+def _q_j5_orders_anti_join(sf_dir: str):
+    """Broadcast ANTI-join (the complement of J2): orders whose
+    customer is NOT in the keyed set — one ray.put of the key set, a
+    vectorized inverted is_in per batch, no shuffle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    class AntiJoin:
+        def __init__(self, ref):
+            import pyarrow as pa
+
+            self.value_set = pa.array(sorted(ray.get(ref)), pa.int64())
+
+        def __call__(self, batch):
+            mask = pc.invert(pc.is_in(batch["o_custkey"], value_set=self.value_set))
+            return batch.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        AntiJoin,
+        fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def _q_q1_lineitem_agg(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -1261,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s8_csv_events_agg": _q_csv_events_agg,
         "lm_doc_scores": _q_lm_doc_scores,
         "outlier_events": _q_outlier_events,
+        "j5_orders_anti_join": _q_j5_orders_anti_join,
     }
 
 
@@ -1333,6 +1371,10 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct FROM events GROUP BY event_type"
         ),
         "prepare_training_counts": oracle.prepare_training_counts_sql(),
+        "j5_orders_anti_join": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
         "outlier_events": (
             "WITH s AS (SELECT event_type, count(*) AS n, SUM(value) AS sv, "
             "  SUM(value * value) AS svv FROM events GROUP BY event_type) "
