@@ -259,6 +259,8 @@ def main() -> None:
         "sliding_window_counts",
         "heavy_hitter_users",
         "prepare_training_counts",
+        "lm_doc_scores",
+        "outlier_events",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
