@@ -44,6 +44,7 @@ def prepare_training_data(
     quality_min: float = QUALITY_MIN,
     fractions: dict[str, float] | None = None,
     num_partitions: int | None = None,
+    lang_filter: bool = True,
 ) -> pd.DataFrame:
     """Run the full preparation flow; returns the per-split counters
     (split, n_docs, total_tokens). If ``out_dir`` is given, also writes
@@ -61,8 +62,10 @@ def prepare_training_data(
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
         q = textstats.quality_batch(b)
         q = textstats.langid_batch(q)
-        q = q[(q["quality_score"] >= quality_min) & (q["lang_pred"] != "und")]
-        return textstats.token_count_batch(q)
+        keep = q["quality_score"] >= quality_min
+        if lang_filter:  # corpora without the stopword languages: disable
+            keep &= q["lang_pred"] != "und"
+        return textstats.token_count_batch(q[keep])
 
     enriched = split_ops.hash_split(
         surviving.map_batches(enrich, batch_format="pandas"),
@@ -84,11 +87,15 @@ def prepare_training_data(
         )
         return g
 
-    out = (
-        enriched.map_batches(partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("split", as_index=False)
-        .agg(n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum"))
+    out = enriched.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # every row filtered: to_pandas drops the schema
+        return pd.DataFrame(
+            {"split": pd.Series([], dtype=object),
+             "n_docs": pd.Series([], dtype="int64"),
+             "total_tokens": pd.Series([], dtype="int64")}
+        )
+    out = out.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum")
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_tokens"] = out["total_tokens"].astype("int64")
