@@ -13,12 +13,14 @@ built from the repo's own operators):
 Every stage is one of the repo's gated operators; the composition adds
 no new semantics, only plumbing:
 
-* dedup keep-set join: ``Dataset.join`` on doc_id (hash-partitioned
-  semi-join) — NOT a broadcast of the keep list, which at 100 TB is
-  itself terabytes. Only (doc_id) pairs and the surviving rows move.
-  When the probe side is much larger than the build side, cut its
-  shuffle volume first with ``ops/bloom`` (build_bloom + prefilter —
-  false positives only, so the exact join result is unchanged).
+* dedup keep-set semi-join, adaptive: when the keep-id set fits in
+  memory (<= broadcast_limit ids at 8 B each) it is broadcast ONCE via
+  ray.put and applied as a vectorized searchsorted filter — no shuffle;
+  beyond that it falls back to a hash-partitioned ``Dataset.join`` on
+  doc_id (only (doc_id) pairs and surviving rows move — a broadcast of
+  a 100 TB keep list would itself be terabytes). For the join path,
+  ``ops/bloom`` (build_bloom + prefilter) can cut the probe side's
+  shuffle volume first — false positives only, result unchanged.
 * counters: per-batch partial (split, n_docs, n_tokens) rows, tiny
   driver fold — the flagship's partial-combine pattern.
 * write: hive-partitioned by split (``split=train/...``) so a failed
@@ -28,6 +30,7 @@ no new semantics, only plumbing:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -45,6 +48,7 @@ def prepare_training_data(
     fractions: dict[str, float] | None = None,
     num_partitions: int | None = None,
     lang_filter: bool = True,
+    broadcast_limit: int = 5_000_000,
 ) -> pd.DataFrame:
     """Run the full preparation flow; returns the per-split counters
     (split, n_docs, total_tokens). If ``out_dir`` is given, also writes
@@ -53,11 +57,32 @@ def prepare_training_data(
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
 
-    keep = dedup.exact_dedup_keep_ids(docs)
-    surviving = docs.join(
-        keep, "inner", num_partitions=num_partitions,
-        on=("doc_id",), right_on=("doc_id",),
-    )
+    # materialize the keep-id projection ONCE (ids only, 8 B each) so
+    # deciding broadcast-vs-join and the chosen path don't each re-run
+    # the content-hash + sort chain
+    keep = dedup.exact_dedup_keep_ids(docs).materialize()
+    if keep.count() <= broadcast_limit:
+        # keep-set fits in memory as a sorted id array: ray.put once,
+        # vectorized searchsorted membership per batch — no shuffle,
+        # and a plain-function stage fuses with the read + enrich
+        # (ray.get of the shared array is a zero-copy local fetch)
+        ids_ref = ray.put(
+            np.sort(keep.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+        )
+
+        def keep_filter(b: pd.DataFrame) -> pd.DataFrame:
+            ids = ray.get(ids_ref)
+            v = b["doc_id"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(ids, v)
+            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == v)
+            return b[ok]
+
+        surviving = docs.map_batches(keep_filter, batch_format="pandas")
+    else:
+        surviving = docs.join(
+            keep, "inner", num_partitions=num_partitions,
+            on=("doc_id",), right_on=("doc_id",),
+        )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
         q = textstats.quality_batch(b)
