@@ -682,9 +682,10 @@ def ngram_jaccard_verify(
     k: int = 3,
     threshold: float = 0.8,
 ) -> pd.DataFrame:
-    """Exact k-gram Jaccard for candidate pairs (driver-side verify of
-    the LSH output; at scale this runs inside map_groups on pair
-    buckets co-partitioned with their texts)."""
+    """Exact k-gram Jaccard for candidate pairs — the small in-memory
+    helper (tests, tiny candidate sets). The distributed version that
+    joins texts onto pairs and verifies inside map_batches is
+    ``ngram_jaccard_verify_ds`` (the gated dedup_lsh_verified path)."""
     wh, off = hashing.tokenize_words(docs_df[text_col])
     sh, soff = hashing.shingle_hashes(wh, off, k=k)
     sets = {
