@@ -95,10 +95,20 @@ def compact_partitions(
     One Ray task PER PARTITION DIRECTORY (sink=<k>/...), so compaction
     parallelizes across partitions and never shuffles rows between
     them. Each task streams its files through a ParquetWriter (memory
-    is one row-group, not the partition), writes ``compact-*.tmp``
-    files, then renames them and deletes the originals — a crash leaves
-    either the old files intact or both (rerun cleans up); it never
-    loses rows. Returns {partition: (files_before, files_after)}.
+    is one row-group, not the partition).
+
+    Crash-safe commit protocol (rerun always converges, never loses or
+    duplicates rows): outputs are written to a fresh GENERATION
+    (``compact-g<N>-*``), a manifest listing the consumed sources and
+    the final output names is fsync-renamed into place BEFORE any
+    rename, then tmps are renamed and sources deleted, then the
+    manifest is removed. A rerun first REPLAYS any manifest it finds
+    (finish pending renames, delete listed sources) — so a crash at
+    any point leaves a state the next run completes rather than
+    re-reads. Previously-compacted files are ordinary inputs to the
+    next generation (rerunning compaction is a no-op only when a
+    single file remains). Returns {partition: (files_before,
+    files_after)}.
     """
     import ray
 
@@ -110,31 +120,55 @@ def compact_partitions(
 
     @ray.remote
     def compact_one(pdir: str) -> tuple[str, int, int]:
+        import json as _json
+        import re as _re
+
         import pyarrow.parquet as pq
 
-        old = sorted(
-            os.path.join(pdir, f)
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet") and not f.startswith("compact-")
-        )
-        # leftover tmp files from a crashed run
+        manifest_path = os.path.join(pdir, "_compact_manifest.json")
+        if os.path.exists(manifest_path):
+            # a prior run crashed after committing its manifest: its
+            # outputs are complete (as tmp or final) — finish the
+            # renames and source deletes it had already committed to
+            with open(manifest_path) as f:
+                m = _json.load(f)
+            for final in m["outputs"]:
+                fp = os.path.join(pdir, final)
+                if not os.path.exists(fp) and os.path.exists(fp + ".tmp"):
+                    os.rename(fp + ".tmp", fp)
+            for src in m["sources"]:
+                sp = os.path.join(pdir, src)
+                if os.path.exists(sp):
+                    os.unlink(sp)
+            os.unlink(manifest_path)
+        # tmps not covered by a manifest are from a crash BEFORE the
+        # commit point: safe to discard
         for f in os.listdir(pdir):
             if f.endswith(".tmp"):
                 os.unlink(os.path.join(pdir, f))
+
+        names = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        old = [os.path.join(pdir, f) for f in names]
         if len(old) <= 1:
             return os.path.basename(pdir), len(old), len(old)
+        gens = [
+            int(g.group(1))
+            for g in (_re.match(r"compact-g(\d+)-", f) for f in names)
+            if g
+        ]
+        gen = (max(gens) + 1) if gens else 0
         schema = pq.read_schema(old[0])
         writer = None
         out_idx = rows_in_file = 0
-        tmp_files: list[str] = []
+        out_names: list[str] = []
 
         def roll():
             nonlocal writer, out_idx, rows_in_file
             if writer is not None:
                 writer.close()
-            path = os.path.join(pdir, f"compact-{out_idx:05d}.parquet.tmp")
-            tmp_files.append(path)
-            writer = pq.ParquetWriter(path, schema)
+            name = f"compact-g{gen:03d}-{out_idx:05d}.parquet"
+            out_names.append(name)
+            writer = pq.ParquetWriter(os.path.join(pdir, name + ".tmp"), schema)
             out_idx += 1
             rows_in_file = 0
 
@@ -147,11 +181,18 @@ def compact_partitions(
                 writer.write_batch(batch)
                 rows_in_file += batch.num_rows
         writer.close()
-        for t in tmp_files:
-            os.rename(t, t[: -len(".tmp")])
+        # commit point: manifest in place => outputs are authoritative
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            _json.dump({"sources": names, "outputs": out_names}, f)
+        os.replace(tmp_manifest, manifest_path)
+        for name in out_names:
+            fp = os.path.join(pdir, name)
+            os.rename(fp + ".tmp", fp)
         for f in old:
             os.unlink(f)
-        return os.path.basename(pdir), len(old), len(tmp_files)
+        os.unlink(manifest_path)
+        return os.path.basename(pdir), len(old), len(out_names)
 
     results = ray.get([compact_one.remote(d) for d in part_dirs])
     return {name: (before, after) for name, before, after in results}

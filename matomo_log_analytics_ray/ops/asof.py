@@ -39,11 +39,7 @@ _SIDE_LEFT = 1
 
 
 def _resolve_sorted(
-    b: pd.DataFrame,
-    key_col: str,
-    ts_col: str,
-    left_id: str,
-    right_cols: list[str],
+    b: pd.DataFrame, key_col: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized forward-fill over rows sorted by (key, ts, side, tie).
     Returns (matched_left_mask, right_row_index_per_row, run_id)."""
@@ -193,7 +189,7 @@ def _resolve_tagged(
         }
         if n == 0:
             return pd.DataFrame(empty)
-        matched, ffill, run_id = _resolve_sorted(b, key_col, ts_col, left_id, right_vals)
+        matched, ffill, run_id = _resolve_sorted(b, key_col)
         side = b["_side"].to_numpy()
         is_left = side == _SIDE_LEFT
         done_mask = is_left & matched
@@ -270,7 +266,7 @@ def _resolve_tagged(
             }
         ).sort_values([key_col, ts_col, "_side", "_tie"], kind="mergesort")
         m = m.reset_index(drop=True)
-        matched, ffill, _ = _resolve_sorted(m, key_col, ts_col, left_id, right_vals)
+        matched, ffill, _ = _resolve_sorted(m, key_col)
         is_left = m["_side"].to_numpy() == _SIDE_LEFT
         sel = is_left & matched
         src = ffill[sel]

@@ -38,7 +38,9 @@ def distinct_counts(
     groups). Returns a small pandas frame (group_col, n_distinct)."""
 
     def local_pairs(b: pd.DataFrame) -> pd.DataFrame:
-        return b[[group_col, val_col]].drop_duplicates()
+        # dropna: COUNT(DISTINCT v) ignores nulls (SQL semantics; keeps
+        # parity with the oracle and with hll_distinct_counts)
+        return b[[group_col, val_col]].dropna().drop_duplicates()
 
     pairs = ds.map_batches(local_pairs, batch_format="pandas")
     distinct_pairs = dedup.sorted_group_counts(

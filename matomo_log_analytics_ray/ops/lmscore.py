@@ -35,13 +35,7 @@ import pandas as pd
 import ray.data
 
 from . import dedup, topk
-
-
-def _explode_words(b: pd.DataFrame, text_col: str):
-    words = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-    counts = words.str.len().to_numpy(dtype=np.int64)
-    flat = words.explode().dropna().to_numpy()
-    return flat, counts
+from .textstats import explode_words
 
 
 def unigram_logprob_scores(
@@ -55,7 +49,7 @@ def unigram_logprob_scores(
     words score the floor."""
     # pass 1: N = total tokens (per-block partial sums)
     def token_partial(b: pd.DataFrame) -> pd.DataFrame:
-        _, counts = _explode_words(b, text_col)
+        _, counts = explode_words(b[text_col])
         return pd.DataFrame({"n": [int(counts.sum())]})
 
     n_total = int(
@@ -71,7 +65,7 @@ def unigram_logprob_scores(
 
     # pass 2: top-K vocab by term frequency
     def word_rows(b: pd.DataFrame) -> pd.DataFrame:
-        flat, _ = _explode_words(b, text_col)
+        flat, _ = explode_words(b[text_col])
         return pd.DataFrame({"word": flat})
 
     counts = dedup.sorted_group_counts(
@@ -99,7 +93,7 @@ def unigram_logprob_scores(
 
     # pass 3: vectorized per-doc mean log-prob
     def score(b: pd.DataFrame) -> pd.DataFrame:
-        flat, counts_ = _explode_words(b, text_col)
+        flat, counts_ = explode_words(b[text_col])
         doc_of = np.repeat(np.arange(len(b)), counts_)
         lp = pd.Series(flat).map(logp).fillna(floor).to_numpy(dtype=np.float64)
         sums = np.bincount(doc_of, weights=lp, minlength=len(b))

@@ -117,29 +117,24 @@ def grouped_quantiles(
                 }
             )
 
-    def unresolved(want_hist: bool):
-        out = []
-        for i, t in enumerate(targets):
-            if t["value"] is not None:
-                continue
-            if want_hist == (t["count"] > max_collect):
-                out.append((i, t))
-        return out
+    def needs_histogram():
+        return [
+            (i, t)
+            for i, t in enumerate(targets)
+            if t["value"] is None and t["count"] > max_collect
+        ]
 
     # point-interval shortcut: every row in the interval is equal
     def _settle_points():
-        for _, t in targets_iter():
+        for t in targets:
             lo, hi = _cur_interval(t, n_bins)
             if t["value"] is None and lo == hi:
                 t["value"] = lo
 
-    def targets_iter():
-        return [(i, t) for i, t in enumerate(targets)]
-
     _settle_points()
 
     for _level in range(2):
-        todo = unresolved(want_hist=True)
+        todo = needs_histogram()
         if not todo:
             break
         todo_payload = [

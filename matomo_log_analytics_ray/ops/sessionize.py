@@ -120,19 +120,29 @@ def sessionize(
         ts = b[ts_col]
         if n == 0:
             out = _session_partials(user, ts, gap_s)
+            out["session_idx"] = pd.Series([], dtype="int64")
             out["kind"] = pd.Series([], dtype=object)
-            return out
+            return out[
+                ["user_id", "session_idx", "session_start", "session_end",
+                 "n_events", "kind"]
+            ]
         change = np.ones(n, dtype=bool)
         change[1:] = user[1:] != user[:-1]
         run_id = np.cumsum(change) - 1
         last = run_id[-1]
         starts = np.flatnonzero(change)
         # interior users: runs 1..last-1 (a contiguous row range) —
-        # complete in-block, so their partials are final sessions
+        # complete in-block, so finalize them HERE (session_idx must be
+        # assigned before Ray can dynamically split this output block;
+        # a downstream per-batch finalize would restart idx mid-user)
         lo, hi = (starts[1], starts[last]) if last >= 2 else (0, 0)
-        done = _session_partials(
-            user[lo:hi], ts.iloc[lo:hi].reset_index(drop=True), gap_s
+        done = _finalize(
+            _session_partials(
+                user[lo:hi], ts.iloc[lo:hi].reset_index(drop=True), gap_s
+            ),
+            gap_s,
         )
+        done["session_end"] = done["session_start"]  # schema union filler
         done["kind"] = "done"
         # edge users (first/last run): pre-reduce to per-session
         # partials — O(sessions), even when one user spans every block
@@ -142,17 +152,20 @@ def sessionize(
             edge = _session_partials(
                 user[elo:ehi], ts.iloc[elo:ehi].reset_index(drop=True), gap_s
             )
+            edge["session_idx"] = np.int64(-1)
             edge["kind"] = "edge"
             frames.append(edge)
-        return pd.concat(frames, ignore_index=True)
+        return pd.concat(frames, ignore_index=True)[
+            ["user_id", "session_idx", "session_start", "session_end",
+             "n_events", "kind"]
+        ]
 
     tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
 
-    def done_rows(b: pd.DataFrame) -> pd.DataFrame:
-        d = b[b["kind"] == "done"]
-        return _finalize(d, gap_s)
-
-    done = tagged.map_batches(done_rows, batch_format="pandas")
+    # split-safe: pure row filter + projection, no per-batch state
+    done = tagged.map_batches(
+        lambda b: b[b["kind"] == "done"][_COLS], batch_format="pandas"
+    )
 
     def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["kind"] == "edge"][

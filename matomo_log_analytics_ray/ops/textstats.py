@@ -84,6 +84,17 @@ def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def explode_words(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_words, words_per_row): lowercased [a-z0-9]+ tokens of each
+    text, flattened, plus the per-row token count (for np.repeat doc
+    alignment). Shared by word_doc_freq and ops/lmscore so vocab and
+    scoring tokenize identically."""
+    words = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    counts = words.str.len().to_numpy(dtype=np.int64)
+    flat = words.explode().dropna().to_numpy()
+    return flat, counts
+
+
 def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Rolling-hash document fingerprint over normalized words: an
     order-sensitive uint64 (same word sequence => same fingerprint,
@@ -124,9 +135,7 @@ def word_doc_freq(
     from . import topk as _topk
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        words = b[text_col].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-        counts = words.str.len().to_numpy(dtype=np.int64)
-        flat = words.explode().dropna().to_numpy()
+        flat, counts = explode_words(b[text_col])
         doc = np.repeat(b[id_col].to_numpy(), counts)
         out = pd.DataFrame({"word": flat, "_doc": doc})
         return out.drop_duplicates()[["word"]]

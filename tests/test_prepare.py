@@ -88,3 +88,26 @@ def test_compact_partitions_preserves_rows(tmp_path):
     # idempotent: a second compaction is a no-op
     stats2 = lifecycle.compact_partitions(out, target_rows_per_file=10_000)
     assert all(b == a for _, (b, a) in stats2.items())
+
+
+def test_compact_then_append_then_recompact_keeps_all_rows(tmp_path):
+    # regression: a second compaction after new files arrive must not
+    # overwrite the first generation's output (reviewed data-loss bug)
+    from matomo_log_analytics_ray.control import lifecycle
+    from matomo_log_analytics_ray.stages import route
+
+    out = str(tmp_path / "routed")
+    df1 = pd.DataFrame({"sink": ["a"] * 30, "x": np.arange(30, dtype=np.int64)})
+    route.write_routed(ray.data.from_pandas(df1).repartition(4), out)
+    lifecycle.compact_partitions(out, target_rows_per_file=1000)
+    # new files arrive in the same partition dir
+    extra = pd.DataFrame(
+        {"sink": ["a"] * 20, "x": np.arange(100, 120, dtype=np.int64)}
+    )
+    pdir = f"{out}/sink=a"
+    extra.drop(columns=["sink"]).to_parquet(f"{pdir}/part-99999-00000.parquet", index=False)
+    lifecycle.compact_partitions(out, target_rows_per_file=1000)
+    rows = pq.ParquetDataset(out).read().to_pandas()
+    assert sorted(rows["x"].tolist()) == sorted(
+        list(range(30)) + list(range(100, 120))
+    )

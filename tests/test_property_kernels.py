@@ -38,7 +38,7 @@ def test_resolve_sorted_matches_bruteforce(rows):
     df = df.sort_values(["k", "ts", "_side", "_tie"], kind="mergesort").reset_index(
         drop=True
     )
-    matched, ffill, _ = asof._resolve_sorted(df, "k", "ts", "lid", [])
+    matched, ffill, _ = asof._resolve_sorted(df, "k")
     k = df["k"].to_numpy()
     side = df["_side"].to_numpy()
     for i in range(len(df)):
