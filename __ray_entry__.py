@@ -442,17 +442,21 @@ def _q_dedup_simhash_pairs(sf_dir: str):
 
 
 def _q_dedup_simhash_verified(sf_dir: str):
-    """Simhash end-to-end: chunk-bucketed candidates -> distributed
-    XOR+popcount verify. Exact (chunk theorem covers Hamming<=3), so
-    DuckDB's all-pairs bit_count(xor(...)) is a value oracle."""
+    """Simhash end-to-end: ONE fingerprint pass (materialized) feeds
+    both chunk-bucketed candidates and the distributed XOR+popcount
+    verify. Exact vs DuckDB's all-pairs bit_count(xor(...)) oracle:
+    the chunk theorem covers Hamming<=3, and max_bucket=4096 is far
+    above any chunk bucket this corpus can produce, so the cap never
+    binds."""
     import pandas as pd
     import ray.data
 
     from matomo_log_analytics_ray.ops import dedup
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = dedup.simhash_candidates(docs)
-    out = dedup.simhash_hamming_verify_ds(cand, docs).to_pandas()
+    fps = dedup.simhash_fingerprints(docs).materialize()
+    cand = dedup.simhash_candidates(docs, max_bucket=4096, fps=fps)
+    out = dedup.simhash_hamming_verify_ds(cand, docs, fps=fps).to_pandas()
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -470,7 +474,7 @@ def _q_dedup_lsh_verified(sf_dir: str):
     from matomo_log_analytics_ray.ops import dedup
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = dedup.minhash_lsh_candidates(docs)
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
     out = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8).to_pandas()
     out["jaccard"] = out["jaccard"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -408,15 +408,24 @@ def sorted_group_first(
 
 
 def minhash_lsh_candidates(
-    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bucket: int = 64,
 ) -> "ray.data.Dataset":
-    """Candidate near-dup pairs (id_a < id_b), deduplicated across bands."""
+    """Candidate near-dup pairs (id_a < id_b), deduplicated across
+    bands. ``max_bucket`` is the skew-safety valve: a bucket with more
+    members contributes pairs among its smallest ``max_bucket`` ids
+    only (all-pairs in a degenerate bucket is quadratic); candidate
+    completeness is exact iff every bucket fits. Verification gates
+    pass a cap sized above their corpus's largest plausible bucket."""
     sigs = docs.map_batches(
         lambda b: minhash_signature_batch(b, id_col, text_col, k),
         batch_format="pandas",
     )
     rows = sigs.map_batches(_band_rows(id_col), batch_format="pandas")
-    pairs = bucket_pairs(rows, ["band", "band_hash"], id_col)
+    pairs = bucket_pairs(rows, ["band", "band_hash"], id_col, max_bucket=max_bucket)
     # a pair can surface from several bands -> sorted run-count distinct
     return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_bands")
 
@@ -467,13 +476,21 @@ def simhash_batch(
 
 
 def simhash_candidates(
-    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+    fps: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Candidate pairs bucketed by 16-bit fingerprint chunks (any pair
-    within Hamming distance 3 shares at least one of the 4 chunks)."""
-    fps = docs.map_batches(
-        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
-    )
+    within Hamming distance 3 shares at least one of the 4 chunks).
+    Pass precomputed ``fps`` (simhash_fingerprints) to avoid
+    re-hashing the corpus when a verify stage also needs them.
+    ``max_bucket`` caps degenerate chunk buckets (see
+    minhash_lsh_candidates) — completeness of the Hamming<=3 guarantee
+    holds iff every chunk bucket fits."""
+    if fps is None:
+        fps = simhash_fingerprints(docs, id_col, text_col)
 
     def chunk_rows(b: pd.DataFrame) -> pd.DataFrame:
         fp = b["simhash"].to_numpy(dtype=np.uint64)
@@ -492,8 +509,19 @@ def simhash_candidates(
         )
 
     rows = fps.map_batches(chunk_rows, batch_format="pandas")
-    pairs = bucket_pairs(rows, ["chunk", "chunk_val"], id_col)
+    pairs = bucket_pairs(rows, ["chunk", "chunk_val"], id_col, max_bucket=max_bucket)
     return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_chunks")
+
+
+def simhash_fingerprints(
+    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(id, simhash) per document — the shared input of
+    simhash_candidates and simhash_hamming_verify_ds (materialize it
+    when running both, so the corpus is tokenized+hashed ONCE)."""
+    return docs.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
+    )
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
@@ -515,14 +543,18 @@ def arrow_col_type(ds: "ray.data.Dataset", col: str):
     execution), for normalizing pair blocks ahead of a hash join."""
     import pyarrow as pa
 
-    base = getattr(ds.schema(), "base_schema", None)
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base.field(col).type
-    try:  # PandasBlockSchema
+    if base is not None and hasattr(base, "names"):  # PandasBlockSchema
         i = list(base.names).index(col)
         return pa.from_numpy_dtype(base.types[i])
-    except Exception:
-        return pa.int64()
+    # no silent int64 guess: a wrong join-key type makes hash joins
+    # match nothing with no error — fail loudly instead
+    raise TypeError(
+        f"cannot determine Arrow type of column {col!r} from schema {schema!r}"
+    )
 
 
 def normalize_pair_ids(
@@ -570,17 +602,21 @@ def simhash_hamming_verify_ds(
     text_col: str = "text",
     max_hamming: int = 3,
     num_partitions: int = 8,
+    fps: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
-    """Distributed Hamming verification of candidate pairs: fingerprints
-    are recomputed per batch (cheap, vectorized), attached to each pair
-    side with two hash-partitioned joins, then XOR+popcount keeps pairs
-    within ``max_hamming``. Combined with simhash_candidates (4x16-bit
-    chunk bucketing guarantees every Hamming<=3 pair shares a chunk),
-    the output is EXACTLY the set of pairs at Hamming <= 3 — the chunk
-    theorem makes this verify exact, not probabilistic."""
-    fps = docs.map_batches(
-        lambda b: simhash_batch(b, id_col, text_col), batch_format="pandas"
-    )
+    """Distributed Hamming verification of candidate pairs: the
+    fingerprints are attached to each pair side with two
+    hash-partitioned joins, then XOR+popcount keeps pairs within
+    ``max_hamming``. Pass the ``fps`` you already computed for
+    simhash_candidates (materialized) so the corpus is hashed once,
+    not twice. Combined with simhash_candidates (4x16-bit chunk
+    bucketing guarantees every Hamming<=3 pair shares a chunk), the
+    output is exactly the set of pairs at Hamming <= 3 PROVIDED no
+    chunk bucket exceeded the candidates' ``max_bucket`` cap — the
+    chunk theorem covers the geometry; the cap is the one
+    approximation knob (skew-safety valve)."""
+    if fps is None:
+        fps = simhash_fingerprints(docs, id_col, text_col)
     fa = _attach_side(fps, id_col, "simhash", "id_a", "fp_a")
     fb = _attach_side(fps, id_col, "simhash", "id_b", "fp_b")
     pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)

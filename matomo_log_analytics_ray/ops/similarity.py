@@ -48,15 +48,46 @@ class BruteForceScorer:
         vecs = _normalize(np.stack(batch[self.vec_col].to_numpy()))  # (n, d)
         ids = batch[self.id_col].to_numpy()
         scores = vecs @ self.qmat.T  # (n, nq)
-        k = min(self.k, len(ids))
-        # per-query partial top-k within this batch
-        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
-        out = {
-            "query_id": np.repeat(self.query_ids, k),
-            self.id_col: ids[top].T.reshape(-1),
-            "score": np.take_along_axis(scores, top, axis=0).T.reshape(-1),
-        }
-        return pd.DataFrame(out)
+        q, i, s = _topk_partial_rows(scores, ids, self.query_ids, self.k)
+        return pd.DataFrame({"query_id": q, self.id_col: i, "score": s})
+
+
+def _topk_partial_rows(
+    scores: np.ndarray, ids: np.ndarray, query_ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query top-k of one batch under EXACT (score desc, id asc)
+    order — tie-aware, unlike a bare argpartition (which forwards an
+    arbitrary member of a k-th-place tie, so the globally smallest id
+    could never reach the merge and the ROW_NUMBER oracle would pick a
+    different row). Candidates = every finite row scoring >= the k-th
+    partitioned score; a lexsort on (-score, id) then keeps k. -inf
+    scores (masked-out rows) are never emitted."""
+    n, nq = scores.shape
+    k = min(k, n)
+    if k == 0:
+        e = ids[:0]
+        return query_ids[:0], e, np.empty(0, dtype=np.float64)
+    part = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq), unordered
+    kth = np.take_along_axis(scores, part, axis=0).min(axis=0)  # (nq,)
+    rows_q, rows_i, rows_s = [], [], []
+    for j in range(nq):
+        col = scores[:, j]
+        finite = col > -np.inf
+        cand = np.flatnonzero(finite & (col >= kth[j]))
+        if len(cand) == 0:
+            continue
+        order = np.lexsort((ids[cand], -col[cand]))[:k]
+        sel = cand[order]
+        rows_q.append(np.full(len(sel), query_ids[j]))
+        rows_i.append(ids[sel])
+        rows_s.append(col[sel])
+    if not rows_q:
+        return query_ids[:0], ids[:0], np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(rows_q),
+        np.concatenate(rows_i),
+        np.concatenate(rows_s),
+    )
 
 
 def brute_force_topk(
@@ -152,15 +183,8 @@ class MaskedTopKScorer:
                 }
             )
         scores = np.where(allowed, vecs @ self.qmat.T, -np.inf)  # (n, nq)
-        k = min(self.k, len(ids))
-        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
-        flat_q = np.repeat(self.query_ids, k)
-        flat_ids = ids[top].T.reshape(-1)
-        flat_sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
-        keep = np.isfinite(flat_sc)
-        return pd.DataFrame(
-            {"query_id": flat_q[keep], self.id_col: flat_ids[keep], "score": flat_sc[keep]}
-        )
+        q, i, s = _topk_partial_rows(scores, ids, self.query_ids, self.k)
+        return pd.DataFrame({"query_id": q, self.id_col: i, "score": s})
 
 
 def lsh_topk(
@@ -233,6 +257,7 @@ def ivf_topk(
     train_n: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    concurrency: int | tuple = 2,
 ) -> pd.DataFrame:
     """IVF approximate top-k — the classic scale path for ANN:
 
@@ -278,7 +303,7 @@ def ivf_topk(
             "vec_col": vec_col,
         },
         batch_format="pandas",
-        concurrency=2,
+        concurrency=concurrency,
     ).to_pandas()
     return _merge_topk_partials(partials, k, id_col)
 

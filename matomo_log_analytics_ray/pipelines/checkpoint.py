@@ -96,20 +96,12 @@ class ProcessPartition:
         tbl = self.resolver(tbl)
 
         # Per-sink deterministic write: out/sink=<k>/part-<pid>.parquet
-        # (pure-Arrow split: unique + mask filter, no Python row lists)
+        # (shared atomic split-and-write contract with stages.route)
         import pyarrow.compute as pc
 
-        sink_col = tbl["sink"]
-        sink_counts: dict[str, int] = {}
-        for sink in pc.unique(sink_col):
-            sub = tbl.filter(pc.equal(sink_col, sink))
-            sink_dir = os.path.join(self.out_dir, f"sink={sink.as_py()}")
-            os.makedirs(sink_dir, exist_ok=True)
-            dest = os.path.join(sink_dir, f"part-{pid}.parquet")
-            tmp = dest + ".tmp"
-            pq.write_table(sub.drop_columns(["sink"]), tmp)
-            os.replace(tmp, dest)
-            sink_counts[str(sink.as_py())] = len(sub)
+        from ..stages.route import write_table_by_sink
+
+        sink_counts = write_table_by_sink(tbl, self.out_dir, pid)
 
         vc = pc.value_counts(tbl["outcome"])
         outcome_counts = {

@@ -64,7 +64,11 @@ def run_load_logs(
     ).to_pandas()
 
     # 3. checkpointed load of the queued files' shards
-    queued_parquets = [logical_to_parquet[p] for p in queue["path"]]
+    # (an all-rejected/invalid listing yields an EMPTY queue whose
+    # to_pandas() has no columns at all — treat it as zero work, not
+    # a KeyError)
+    queued_paths = queue["path"] if "path" in queue.columns else pd.Series([], dtype=str)
+    queued_parquets = [logical_to_parquet[p] for p in queued_paths]
     counters = checkpoint.run_checkpointed(
         queued_parquets,
         out_dir,
@@ -98,7 +102,7 @@ def run_load_logs(
             return status.FILE_LOADED
         return status.FILE_PARTIAL if n_done > 0 else status.FILE_QUEUE
 
-    in_queue = manifest["path"].isin(set(queue["path"]))
+    in_queue = manifest["path"].isin(set(queued_paths))
     proposed = manifest["status"].copy()
     proposed[in_queue] = (
         manifest.loc[in_queue, "path"].map(proposed_status).astype(proposed.dtype)

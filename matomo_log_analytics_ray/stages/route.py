@@ -61,40 +61,61 @@ def write_routed(
     )
 
 
+def write_table_by_sink(tbl, out_dir: str, part_name: str) -> dict[str, int]:
+    """Split an Arrow table by its ``sink`` column and atomically write
+    one parquet file per sink (out/sink=<k>/part-<part_name>.parquet,
+    tmp + os.replace so a retried task overwrites rather than appends).
+    Pure-Arrow split (unique + mask filter, no Python row lists).
+    Returns per-sink row counts. Shared by the single-pass routed write
+    and the checkpoint runner so the write contract lives in one place.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sink_col = tbl["sink"]
+    counts: dict[str, int] = {}
+    for s in pc.unique(sink_col):
+        sub = tbl.filter(pc.equal(sink_col, s))
+        sink_dir = os.path.join(out_dir, f"sink={s.as_py()}")
+        os.makedirs(sink_dir, exist_ok=True)
+        dest = os.path.join(sink_dir, f"part-{part_name}.parquet")
+        tmp = dest + ".tmp"
+        pq.write_table(sub.drop_columns(["sink"]), tmp)
+        os.replace(tmp, dest)
+        counts[str(s.as_py())] = len(sub)
+    return counts
+
+
 def _make_write_and_count(out_dir: str):
     """Batch fn: write this batch's rows per-sink AND return the batch's
     (sink, outcome, n, total_bytes) partial counters — the single-pass
     fusion of K6 (fan-out recorder) and A7 (Statistics counters).
 
-    Filenames are content-derived (hash of the batch's first/last
-    (conv_id, turn_idx) plus row count): Ray Data blocks have
+    Filenames are content-derived (hash over the batch's ENTIRE
+    (conv_id, turn_idx) key columns): Ray Data blocks have
     deterministic lineage, so a retried task re-derives the same name
     and overwrites its own file instead of appending a duplicate —
-    the same idempotency contract as DeterministicFilenames.
+    the same idempotency contract as DeterministicFilenames. Hashing
+    the full key stream (not first/last + count) means two DIFFERENT
+    batches cannot collide unless their key columns are byte-identical
+    — i.e. the same span ingested twice, which is input duplication,
+    not a naming artifact.
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from . import aggregate
 
     def fn(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return aggregate.partial_outcome_counts(batch)
-        key_src = "|".join(
-            str(batch[c][i].as_py())
-            for c in ("conv_id", "turn_idx")
-            for i in (0, len(batch) - 1)
-        ) + f"|{len(batch)}"
-        part = hashlib.sha1(key_src.encode()).hexdigest()[:16]
-        for s in pc.unique(batch["sink"]):
-            sub = batch.filter(pc.equal(batch["sink"], s))
-            sink_dir = os.path.join(out_dir, f"sink={s.as_py()}")
-            os.makedirs(sink_dir, exist_ok=True)
-            dest = os.path.join(sink_dir, f"part-{part}.parquet")
-            tmp = dest + ".tmp"
-            pq.write_table(sub.drop_columns(["sink"]), tmp)
-            os.replace(tmp, dest)
+        import numpy as np
+
+        keys = batch.select(["conv_id", "turn_idx"]).to_pandas()
+        row_hashes = pd.util.hash_pandas_object(keys, index=False).to_numpy(
+            dtype=np.uint64
+        )
+        part = hashlib.sha1(row_hashes.tobytes()).hexdigest()[:16]
+        write_table_by_sink(batch, out_dir, part)
         return aggregate.partial_outcome_counts(batch)
 
     return fn

@@ -71,3 +71,15 @@ def test_partial_date_is_partial(tmp_path):
     r = lifecycle.run_load_logs(files, "scl", out)
     roll = r["rollup"].set_index("date")["status"]
     assert roll["2021-05-20"] == status.DATE_PARTIAL
+
+
+def test_all_rejected_listing_is_zero_work(tmp_path):
+    # a listing whose every path fails discovery (no date / bad shape)
+    # yields an EMPTY work queue — to_pandas() of an empty Dataset has
+    # no columns, which must read as "no work", not a KeyError
+    pp = str(tmp_path / "shard.parquet")
+    pq.write_table(datagen.generate_transcripts(500, seed=1), pp)
+    files = [("/logs/whatever/nodate.log.gz", pp)]
+    res = lifecycle.run_load_logs(files, "scl", str(tmp_path / "out"))
+    assert res["queued"] == 0
+    assert res["counters"]["planned"] == 0

@@ -108,3 +108,38 @@ def test_bucketed_near_dup_matches_broadcast_path():
     # the 6 planted pairs are the easy ones — all must be found
     planted = {(i, 60 + i) for i in range(6)}
     assert planted <= got_pairs
+
+
+def test_topk_partial_rows_tie_break_keeps_smallest_id():
+    # Two corpus rows with IDENTICAL vectors tie exactly at the k-th
+    # place; the tie-aware partial must forward the smaller id (the
+    # ROW_NUMBER ... ORDER BY score DESC, id oracle order), which a
+    # bare argpartition does not guarantee.
+    rng = np.random.default_rng(3)
+    d = 8
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    # build scores directly: duplicate vector => duplicate score
+    base = rng.standard_normal((5, d)).astype(np.float32)
+    base[4] = base[1]  # ids 1 and 4 tie exactly
+    vecs = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = vecs @ qn.T  # (5, 1)
+    ids = np.arange(5)
+    # k=1 .. 5: output must equal the full (score desc, id asc) sort
+    order = np.lexsort((ids, -scores[:, 0]))
+    for k in range(1, 6):
+        gq, gi, gs = similarity._topk_partial_rows(scores, ids, np.array([0]), k)
+        assert list(gi) == list(ids[order][:k]), f"k={k}"
+    # tied pair must come out smaller-id first
+    s_tied = scores[1, 0]
+    gq, gi, gs = similarity._topk_partial_rows(scores, ids, np.array([0]), 5)
+    tied_ids = [i for i, s in zip(gi, gs) if s == s_tied]
+    assert tied_ids == sorted(tied_ids)
+
+
+def test_topk_partial_rows_masked_rows_never_emitted():
+    scores = np.array([[0.9], [-np.inf], [0.5]])
+    ids = np.arange(3)
+    gq, gi, gs = similarity._topk_partial_rows(scores, ids, np.array([7]), 3)
+    assert list(gi) == [0, 2]
+    assert np.isfinite(gs).all()
