@@ -529,6 +529,46 @@ def _q_text_fingerprint(sf_dir: str):
     return ds.map_batches(project, batch_format="pandas")
 
 
+def _q_text_repetition(sf_dir: str):
+    """Duplicate-n-gram quality signals (dup-word / top-bigram /
+    dup-bigram fractions) — the published repetition heuristics for
+    filtering degenerate text from training corpora."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.repetition_batch, batch_format="pandas"
+    ).select_columns(["doc_id", "dup_word_frac", "top_bigram_frac", "dup_bigram_frac"])
+
+
+# domain-mixture rates for the gated sampling query (knuth_bucket over
+# 10000 buckets is replayed verbatim in the SQL oracle)
+DOMAIN_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+DOMAIN_MIX_DEFAULT = 0.8
+
+
+def _q_domain_mix_sample(sf_dir: str):
+    """Per-source deterministic rate sampling — domain-mixture
+    re-weighting with a hash-stable keep set."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return split.rate_sample(
+        ds,
+        "doc_id",
+        "source",
+        DOMAIN_MIX_RATES,
+        default_rate=DOMAIN_MIX_DEFAULT,
+        bucket_fn=split.knuth_bucket,
+    )
+
+
 def _q_similarity_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1276,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "domain_mix_sample": _q_domain_mix_sample,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
@@ -1356,6 +1398,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "text_langid": oracle.langid_sql(),
+        "text_repetition": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all("
+            "  lower(coalesce(text,'')), '[a-z0-9]+') AS ws FROM documents), "
+            "uni AS (SELECT doc_id, unnest(ws) AS wd FROM w), "
+            "ws_stats AS (SELECT doc_id, count(*) AS n, "
+            "  count(DISTINCT wd) AS nd FROM uni GROUP BY doc_id), "
+            "bgi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i "
+            "  FROM w WHERE len(ws) >= 2), "
+            "bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM bgi), "
+            "bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g), "
+            "bstats AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot, "
+            "  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup "
+            "  FROM bgc GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "ROUND(COALESCE(1.0 - s.nd / s.n, 0), 6) AS dup_word_frac, "
+            "ROUND(COALESCE(b.maxc / b.tot, 0), 6) AS top_bigram_frac, "
+            "ROUND(COALESCE(b.dup / b.tot, 0), 6) AS dup_bigram_frac "
+            "FROM documents d LEFT JOIN ws_stats s USING (doc_id) "
+            "LEFT JOIN bstats b USING (doc_id)"
+        ),
+        "domain_mix_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 10000 < CASE source "
+            + " ".join(
+                f"WHEN '{g}' THEN {int(r * 10000)}"
+                for g, r in DOMAIN_MIX_RATES.items()
+            )
+            + f" ELSE {int(DOMAIN_MIX_DEFAULT * 10000)} END"
+        ),
         "grouped_topk_user_events": (
             "SELECT user_id, ts, event_id FROM ("
             "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("

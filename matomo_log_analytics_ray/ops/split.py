@@ -101,3 +101,36 @@ def stratified_sample(
     return sampled.map_batches(
         lambda b: b.drop(columns=["_h"]), batch_format="pandas"
     )
+
+
+def rate_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    bucket_fn=knuth_bucket,
+    n_buckets: int = 10000,
+) -> "ray.data.Dataset":
+    """Per-group deterministic rate sampling — the domain-mixture
+    re-weighting step of a training-data pipeline (sample source A at
+    100%, source B at 40%, ...). A row survives iff its id's hash
+    bucket falls under ``int(rate * n_buckets)`` for its group's rate,
+    so the sample is reproducible on any cluster shape and monotone in
+    the rate (raising a rate only ADDS rows — stable incremental
+    mixes). Stateless per-batch filter: no shuffle, nothing broadcast
+    but the tiny rate table."""
+    thresholds = {g: int(r * n_buckets) for g, r in rates.items()}
+    default_thr = int(default_rate * n_buckets)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket_fn(b[id_col].to_numpy(), n_buckets)
+        thr = (
+            b[group_col]
+            .map(thresholds)
+            .fillna(default_thr)
+            .to_numpy(dtype=np.int64)
+        )
+        return b[bucket < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -153,3 +153,72 @@ def word_doc_freq(
         k=k,
         descending=[True, False],
     )
+
+
+def repetition_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Repetition-based quality signals per document (the published
+    duplicate-n-gram family of heuristics for filtering boilerplate /
+    degenerate text from training corpora):
+
+    * dup_word_frac    1 - distinct_words / total_words
+    * top_bigram_frac  occurrences of the most frequent bigram / total
+                       bigram occurrences
+    * dup_bigram_frac  fraction of bigram occurrences whose bigram
+                       appears more than once
+
+    All-zero for docs with no words (fracs defined as 0 when the
+    denominator is 0; bigram fracs 0 for one-word docs). Pure stateless
+    batch kernel: word hashes via ops/hashing (deterministic), per-doc
+    run counting via one lexsort — no Python per-row loop.
+    """
+    wh, off = hashing.tokenize_words(batch[text_col])
+    n = len(batch)
+    counts = np.diff(off)
+    doc_of = np.repeat(np.arange(n), counts)
+
+    def _per_doc_run_stats(keys: np.ndarray, docs: np.ndarray, n_docs: int):
+        """(distinct, max_run, dup_occurrences) per doc for (doc, key)
+        runs of a flat key array."""
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        dup_occ = np.zeros(n_docs, dtype=np.int64)
+        if len(keys) == 0:
+            return distinct, max_run, dup_occ
+        order = np.lexsort((keys, docs))
+        k, d = keys[order], docs[order]
+        new_run = np.ones(len(k), dtype=bool)
+        new_run[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(k)))
+        run_doc = d[starts]
+        distinct[:] = np.bincount(run_doc, minlength=n_docs)
+        np.maximum.at(max_run, run_doc, run_len)
+        np.add.at(dup_occ, run_doc, np.where(run_len > 1, run_len, 0))
+        return distinct, max_run, dup_occ
+
+    w_distinct, _, _ = _per_doc_run_stats(wh, doc_of, n)
+
+    # bigrams: combine consecutive word hashes within each doc
+    big_ok = np.zeros(len(wh), dtype=bool)
+    if len(wh):
+        idx = np.arange(len(wh))
+        nxt_in_doc = (idx + 1 < len(wh)) & (doc_of[np.minimum(idx + 1, len(wh) - 1)] == doc_of)
+        big_ok = nxt_in_doc
+    bg = hashing.combine(wh[big_ok], np.roll(wh, -1)[big_ok]) if len(wh) else wh
+    bg_doc = doc_of[big_ok] if len(wh) else doc_of
+    _, bg_max, bg_dup = _per_doc_run_stats(bg, bg_doc, n)
+    bg_tot = np.bincount(bg_doc, minlength=n) if len(wh) else np.zeros(n, dtype=np.int64)
+
+    out = batch.copy()
+    wc = counts.astype(np.float64)
+    bc = bg_tot.astype(np.float64)
+    out["dup_word_frac"] = np.round(
+        np.where(counts > 0, 1.0 - w_distinct / np.maximum(wc, 1), 0.0), 6
+    )
+    out["top_bigram_frac"] = np.round(
+        np.where(bg_tot > 0, bg_max / np.maximum(bc, 1), 0.0), 6
+    )
+    out["dup_bigram_frac"] = np.round(
+        np.where(bg_tot > 0, bg_dup / np.maximum(bc, 1), 0.0), 6
+    )
+    return out

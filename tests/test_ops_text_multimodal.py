@@ -116,3 +116,29 @@ def test_media_resize_strict_raises():
     ds = ray.data.from_arrow(multimodal.generate_fake_media(8, seed=5))
     with pytest.raises(Exception):
         multimodal.resize_images(ds, 32, 32, strict=True).to_pandas()
+
+
+def test_repetition_signals():
+    """Dup-n-gram repetition fractions: hand-computed values on tiny
+    docs, zero on empty/one-word docs, high on degenerate repeats."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a b a b",          # 2 distinct words of 6; 'a b' bigram x3 of 5
+                "one two three four",   # all distinct, all bigrams unique
+                "",                      # no words
+                "word",                  # one word, no bigrams
+            ],
+        }
+    )
+    out = textstats.repetition_batch(df)
+    r0 = out.iloc[0]
+    assert abs(r0.dup_word_frac - (1 - 2 / 6)) < 1e-6
+    assert abs(r0.top_bigram_frac - 3 / 5) < 1e-6
+    assert abs(r0.dup_bigram_frac - 1.0) < 1e-6  # 'a b' x3 + 'b a' x2 all dup
+    r1 = out.iloc[1]
+    assert r1.dup_word_frac == 0 and abs(r1.top_bigram_frac - 1 / 3) < 1e-6
+    assert r1.dup_bigram_frac == 0
+    assert (out.iloc[2][["dup_word_frac", "top_bigram_frac", "dup_bigram_frac"]] == 0).all()
+    assert (out.iloc[3][["top_bigram_frac", "dup_bigram_frac"]] == 0).all()

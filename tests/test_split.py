@@ -64,3 +64,43 @@ def test_stratified_sample_exact_k_and_stable():
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0].groupby("g").size().tolist() == [7, 7, 7]
+
+
+def test_rate_sample_deterministic_and_monotone():
+    """Rate sampling is partition-invariant, respects per-group rates,
+    and raising a rate only ADDS rows (bucket-threshold monotonicity)."""
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8000, dtype=np.int64),
+            "source": rng.choice(["a", "b", "zz"], size=8000),
+        }
+    )
+    rates = {"a": 1.0, "b": 0.25}
+    outs = []
+    for nblocks in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = (
+            split.rate_sample(ds, "doc_id", "source", rates, default_rate=0.5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    n = df.groupby("source").size()
+    kept = got.groupby("source").size()
+    assert kept["a"] == n["a"]  # rate 1.0 keeps everything
+    assert abs(kept["b"] / n["b"] - 0.25) < 0.05
+    assert abs(kept["zz"] / n["zz"] - 0.5) < 0.05  # default rate
+    # monotone: the 0.25 sample is a subset of the 0.60 sample
+    bigger = (
+        split.rate_sample(
+            ray.data.from_pandas(df), "doc_id", "source", {"a": 1.0, "b": 0.6}, 0.5
+        )
+        .to_pandas()
+    )
+    small_b = set(got[got.source == "b"].doc_id)
+    big_b = set(bigger[bigger.source == "b"].doc_id)
+    assert small_b <= big_b
