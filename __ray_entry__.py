@@ -480,6 +480,38 @@ def _q_dedup_lsh_verified(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS, not just pairs: LSH candidates -> exact
+    Jaccard verify -> distributed connected components (min-label
+    propagation with pointer jumping, ops/cluster.py). Output is
+    (node, cluster_id) for every doc in a verified pair — the
+    transitive closure a real dedup needs (pair chains a-b, b-c
+    collapse to one cluster). Oracle: DuckDB recursive CTE min-reach
+    over the identical pair set."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster, dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+    pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+    return cluster.connected_components(pairs)
+
+
+def _q_dedup_keep_canonical(sf_dir: str):
+    """The corpus after duplicate-cluster removal: one canonical doc
+    (min id) per verified near-dup cluster, all unpaired docs kept —
+    the end state of the whole dedup family."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster, dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+    pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+    return cluster.keep_canonical(docs, pairs).select_columns(["doc_id"])
+
+
 def _q_text_token_counts(sf_dir: str):
     import ray.data
 
@@ -1312,6 +1344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash_verified": _q_dedup_simhash_verified,
         "dedup_lsh_verified": _q_dedup_lsh_verified,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1517,6 +1551,8 @@ def oracle_sql() -> dict[str, str]:
             datagen.simhash_path(SF001)
         ),
         "dedup_lsh_verified": oracle.jaccard_verified_pairs_sql(threshold=0.8),
+        "dedup_clusters": oracle.dedup_clusters_sql(threshold=0.8),
+        "dedup_keep_canonical": oracle.dedup_keep_canonical_sql(threshold=0.8),
         "media_payload_stats": (
             "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "
             f"AS payload_bytes FROM read_parquet('{mpath}')"

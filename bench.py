@@ -261,6 +261,9 @@ def main() -> None:
         "prepare_training_counts",
         "lm_doc_scores",
         "outlier_events",
+        "dedup_clusters",
+        "text_repetition",
+        "domain_mix_sample",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)

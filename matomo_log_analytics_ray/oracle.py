@@ -531,6 +531,67 @@ SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}"""
 
 
+def _jaccard_pairs_ctes(threshold: float = 0.8, k: int = 3) -> str:
+    """The jaccard_verified_pairs_sql body reshaped as named CTEs
+    (t, s, p, vp) for composition under WITH RECURSIVE."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace("w[i+0]", "w[i]")
+    return f"""t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), s AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= {k}
+             THEN list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {gram}))
+             ELSE list_distinct(w) END AS sh
+    FROM t
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+), vp AS (
+    SELECT id_a, id_b FROM p
+    WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}
+)"""
+
+
+def dedup_clusters_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Connected components over the exact-Jaccard verified pairs: for
+    every node in a pair, the minimum doc_id reachable through pair
+    edges (DuckDB recursive CTE replaying ops/cluster min-label
+    propagation)."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(threshold, k)},
+e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u"""
+
+
+def dedup_keep_canonical_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Doc ids surviving duplicate clustering: the minimum id of each
+    duplicate cluster plus every unpaired doc."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(threshold, k)},
+e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+cc AS (SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id < node)"""
+
+
 def transcripts_source(parquet_path: str) -> str:
     return f"SELECT * FROM read_parquet('{parquet_path}')"
 
