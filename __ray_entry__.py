@@ -601,6 +601,65 @@ def _q_domain_mix_sample(sf_dir: str):
     )
 
 
+def _q_text_clean(sf_dir: str):
+    """Normalization + PII-style redaction over the events props
+    payload (lowercase -> url/email/digit-run masking -> whitespace
+    collapse -> trim, plus the per-row substitution counter)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textclean
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return ds.map_batches(
+        lambda b: textclean.clean_batch(b, text_col="props"), batch_format="pandas"
+    ).select_columns(["event_id", "clean_text", "n_redactions"])
+
+
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid (grouped vector mean): per-block
+    (group, dim, sum, count) partials -> driver fold; vectors never
+    shuffle."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import vecagg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    out = vecagg.grouped_centroids(ds, group_col="label", vec_col="embedding")
+    out["label"] = out["label"].astype("int64")
+    return out
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs (source != src3)
+    sharing any 3-gram shingle with the benchmark split (source =
+    src3). Broadcast benchmark shingle set + stateless streaming flag
+    pass; oracle replays the identical gram construction in SQL."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import decontam
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    bench = docs.filter(expr="source == 'src3'")
+    train = docs.filter(expr="source != 'src3'")
+    return decontam.decontaminate(train, bench)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document — the vocab/keyword-extraction
+    step of a corpus pipeline (tf * ln(N/df), ranked on the ROUNDED
+    score so the ordering replays exactly in SQL)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return textstats.tfidf_top_terms(ds, k=5)
+
+
 def _q_similarity_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -1351,6 +1410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_repetition": _q_text_repetition,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_clean": _q_text_clean,
+        "decontaminate_train": _q_decontaminate,
+        "embedding_centroids": _q_embedding_centroids,
         "domain_mix_sample": _q_domain_mix_sample,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -1451,6 +1514,44 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COALESCE(b.dup / b.tot, 0), 6) AS dup_bigram_frac "
             "FROM documents d LEFT JOIN ws_stats s USING (doc_id) "
             "LEFT JOIN bstats b USING (doc_id)"
+        ),
+        "decontaminate_train": oracle.decontaminate_sql(k=3, bench_source="src3"),
+        "embedding_centroids": (
+            "WITH dims AS (SELECT unnest(generate_series(1, "
+            "  (SELECT max(len(embedding)) FROM embeddings))) AS i) "
+            "SELECT CAST(e.label AS BIGINT) AS label, d.i - 1 AS dim, "
+            "ROUND(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS mean_val "
+            "FROM embeddings e CROSS JOIN dims d GROUP BY e.label, d.i"
+        ),
+        "text_clean": (
+            "WITH s0 AS (SELECT event_id, lower(coalesce(props, '')) AS t FROM events), "
+            "s1 AS (SELECT event_id, "
+            "  regexp_replace(t, 'https?://[^\\s]+', '<url>', 'g') AS t, "
+            "  len(regexp_extract_all(t, 'https?://[^\\s]+')) AS c1 FROM s0), "
+            "s2 AS (SELECT event_id, "
+            "  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g') AS t, "
+            "  c1, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c2 FROM s1), "
+            "s3 AS (SELECT event_id, "
+            "  regexp_replace(t, '[0-9]+', '<num>', 'g') AS t, "
+            "  c1, c2, len(regexp_extract_all(t, '[0-9]+')) AS c3 FROM s2) "
+            "SELECT event_id, "
+            "trim(regexp_replace(t, '[ \\t\\r\\n\\f]+', ' ', 'g')) AS clean_text, "
+            "c1 + c2 + c3 AS n_redactions FROM s3"
+        ),
+        "tfidf_top_terms": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all("
+            "  lower(coalesce(text,'')), '[a-z0-9]+') AS ws FROM documents), "
+            "u AS (SELECT doc_id, unnest(ws) AS w FROM t), "
+            "tf AS (SELECT doc_id, w, count(*) AS tf FROM u GROUP BY doc_id, w), "
+            "df AS (SELECT w, count(DISTINCT doc_id) AS df FROM u GROUP BY w), "
+            "nd AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.w AS word, "
+            "  ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf "
+            "  FROM tf JOIN df ON tf.w = df.w CROSS JOIN nd) "
+            "SELECT doc_id, word, tfidf FROM ("
+            "  SELECT *, ROW_NUMBER() OVER ("
+            "    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk FROM s"
+            ") WHERE rnk <= 5"
         ),
         "domain_mix_sample": (
             "SELECT doc_id, source FROM documents "

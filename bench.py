@@ -264,6 +264,9 @@ def main() -> None:
         "dedup_clusters",
         "text_repetition",
         "domain_mix_sample",
+        "tfidf_top_terms",
+        "text_clean",
+        "decontaminate_train",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)

@@ -192,7 +192,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iters: int = 30,
     num_partitions: int | None = None,
-    small_limit: int = 2_000_000,
+    small_limit: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Cluster ids for every node that appears in a pair.
 
@@ -201,10 +201,12 @@ def connected_components(
     reachable through pair edges — one stable id per component).
 
     Adaptive like pipelines/prepare's keep-set filter: a pair set of
-    <= ``small_limit`` rows fits one block, so one contraction task
-    solves it outright (identical kernel, identical result); the
-    multi-round sort machinery is the path for pair sets bigger than
-    a worker's heap.
+    <= ``small_limit`` rows (20M pairs = ~320 MB of int64, seconds of
+    numpy) contracts in ONE task — identical kernel, identical
+    result; the multi-round sort machinery is strictly for pair sets
+    beyond a single worker's heap. Measured on this box: 21M-edge
+    giant-component worst case = 1237 s distributed vs ~40 s
+    single-task, so the crossover is far above this default.
     """
     if num_partitions is None:
         num_partitions = _default_partitions()

@@ -222,3 +222,111 @@ def repetition_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFram
         np.where(bg_tot > 0, bg_dup / np.maximum(bc, 1), 0.0), 6
     )
     return out
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document: (id, word, tfidf) with
+    tfidf = tf * ln(N_docs / df), ranked by (tfidf desc, word asc),
+    rounded to 6 dp BEFORE ranking so the ordering is replayable in
+    SQL.
+
+    Two passes. Pass 1 builds the document-frequency table with the
+    sorted-run machinery (only distinct (doc, word) pairs leave each
+    worker; high-cardinality safe). Pass 2 is adaptive like
+    pipelines/prepare: a vocab that fits driver memory broadcasts as a
+    plain dict and scoring+top-k fuses into one stateless map over the
+    corpus (docs are whole within a batch, so per-doc top-k needs no
+    shuffle); a larger vocab falls back to a hash join of (doc, word,
+    tf) rows against the DF table plus ops/topk.grouped_topk.
+    """
+    import ray.data  # noqa: F401
+
+    from . import dedup as _dedup
+    from . import topk as _topk
+
+    n_docs = ds.count()
+
+    def df_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = explode_words(b[text_col])
+        doc = np.repeat(b[id_col].to_numpy(), counts)
+        out = pd.DataFrame({"word": flat, "_doc": doc}).drop_duplicates()
+        return out[["word"]]
+
+    df_rows = _dedup.sorted_group_counts(
+        ds.map_batches(df_pairs, batch_format="pandas"), ["word"], alias="df"
+    ).map_batches(
+        lambda b: b.assign(df=b["df"].astype("int64")), batch_format="pandas"
+    ).materialize()
+
+    def tf_frame(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = explode_words(b[text_col])
+        doc = np.repeat(b[id_col].to_numpy(), counts)
+        tf = (
+            pd.DataFrame({id_col: doc, "word": flat})
+            .groupby([id_col, "word"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["tf"] = tf["tf"].astype("int64")
+        return tf
+
+    if df_rows.count() <= broadcast_limit:
+        df_map = dict(zip(*(lambda d: (d["word"], d["df"]))(df_rows.to_pandas())))
+        ref = ray.put(df_map)
+
+        def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+            tf = tf_frame(b)
+            if len(tf) == 0:
+                return pd.DataFrame(
+                    {
+                        id_col: b[id_col].iloc[:0],
+                        "word": pd.Series([], dtype=object),
+                        "tfidf": pd.Series([], dtype="float64"),
+                    }
+                )
+            dfm = ray.get(ref)
+            dfv = tf["word"].map(dfm).to_numpy(dtype=np.float64)
+            tf["tfidf"] = np.round(
+                tf["tf"].to_numpy() * np.log(np.float64(n_docs) / dfv), 6
+            )
+            tf = tf.sort_values(
+                [id_col, "tfidf", "word"], ascending=[True, False, True]
+            )
+            pos = tf.groupby(id_col, sort=False).cumcount()
+            return tf[pos < k][[id_col, "word", "tfidf"]]
+
+        return ds.map_batches(score_topk, batch_format="pandas")
+
+    # join path: (doc, word, tf) rows against the DF table, then the
+    # distributed ROW_NUMBER shape
+    import ray as _ray
+
+    num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+    tf_rows = (
+        ds.map_batches(tf_frame, batch_format="pandas")
+        .repartition(num_partitions)  # drop schema-less empties pre-join
+    )
+    joined = tf_rows.join(
+        df_rows,
+        "inner",
+        num_partitions=num_partitions,
+        on=("word",),
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, "word"]].copy()
+        out["tfidf"] = np.round(
+            b["tf"].to_numpy() * np.log(np.float64(n_docs) / b["df"].to_numpy()), 6
+        )
+        return out
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return _topk.grouped_topk(
+        scored, [id_col], ["tfidf", "word"], k=k, descending=[True, False]
+    )

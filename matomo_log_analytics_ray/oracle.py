@@ -554,6 +554,37 @@ def _jaccard_pairs_ctes(threshold: float = 0.8, k: int = 3) -> str:
 )"""
 
 
+def decontaminate_sql(k: int = 3, bench_source: str = "src3") -> str:
+    """Per training doc (source != bench_source): count of its distinct
+    k-gram shingles occurring anywhere in the benchmark split, plus the
+    contaminated flag — same gram construction as the Jaccard oracle
+    (short docs fall back to their word set)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k)).replace("w[i+0]", "w[i]")
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), s AS (
+    SELECT doc_id,
+        CASE WHEN len(w) >= {k}
+             THEN list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {gram}))
+             ELSE list_distinct(w) END AS sh
+    FROM t
+), bench AS (
+    SELECT DISTINCT unnest(s.sh) AS g
+    FROM s JOIN documents d USING (doc_id) WHERE d.source = '{bench_source}'
+), tr AS (
+    SELECT s.doc_id, unnest(s.sh) AS g
+    FROM s JOIN documents d USING (doc_id) WHERE d.source <> '{bench_source}'
+), ov AS (
+    SELECT doc_id, count(*) AS n_overlap FROM tr
+    WHERE g IN (SELECT g FROM bench) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
+WHERE d.source <> '{bench_source}'"""
+
+
 def dedup_clusters_sql(threshold: float = 0.8, k: int = 3) -> str:
     """Connected components over the exact-Jaccard verified pairs: for
     every node in a pair, the minimum doc_id reachable through pair

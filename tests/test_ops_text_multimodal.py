@@ -142,3 +142,98 @@ def test_repetition_signals():
     assert r1.dup_bigram_frac == 0
     assert (out.iloc[2][["dup_word_frac", "top_bigram_frac", "dup_bigram_frac"]] == 0).all()
     assert (out.iloc[3][["top_bigram_frac", "dup_bigram_frac"]] == 0).all()
+
+
+def test_tfidf_top_terms_paths_agree():
+    """Broadcast and join paths produce the identical ranked terms;
+    ranking is (tfidf desc, word asc) on 6dp-rounded scores."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "apple banana apple",
+                "banana cherry cherry cherry",
+                "apple unique",
+                "",
+                "common common common",
+                "common banana",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    outs = []
+    for limit in (5_000_000, 0):
+        out = (
+            textstats.tfidf_top_terms(ds, k=2, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values(["doc_id", "tfidf", "word"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # doc 2: 'unique' (df=1) must outrank 'apple' (df=2)
+    d2 = got[got.doc_id == 2]["word"].tolist()
+    assert d2[0] == "unique" and "apple" in d2
+    # empty doc contributes no rows
+    assert (got.doc_id != 3).all()
+    # doc 0: apple tf=2 beats banana tf=1 (same-ish df)
+    d0 = got[got.doc_id == 0]["word"].tolist()
+    assert d0[0] == "apple"
+
+
+def test_text_clean_redaction_chain():
+    from matomo_log_analytics_ray.ops import textclean
+
+    df = pd.DataFrame(
+        {
+            "text": [
+                "Contact Bob@Example.COM or visit https://x.io/a?b=1 now",
+                "  lots\tof\n whitespace  and 12345 numbers 6789 ",
+                None,
+                "clean already",
+            ]
+        }
+    )
+    out = textclean.clean_batch(df)
+    assert out["clean_text"].iloc[0] == "contact <email> or visit <url> now"
+    assert out["n_redactions"].iloc[0] == 2
+    assert out["clean_text"].iloc[1] == "lots of whitespace and <num> numbers <num>"
+    assert out["n_redactions"].iloc[1] == 2
+    assert out["clean_text"].iloc[2] == "" and out["n_redactions"].iloc[2] == 0
+    assert out["clean_text"].iloc[3] == "clean already"
+
+
+def test_decontaminate_planted_overlap():
+    from matomo_log_analytics_ray.ops import decontam
+
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps"]})
+    )
+    train = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a sentence with the quick brown fox inside it",  # 2 shared 3-grams
+                    "completely different words here",
+                    "quick brown fox jumps again",  # 'quick brown fox','brown fox jumps'
+                    "",  # empty
+                ],
+            }
+        )
+    ).repartition(2)
+    out = decontam.decontaminate(train, bench).to_pandas().sort_values("doc_id")
+    assert out["n_overlap"].tolist() == [2, 0, 2, 0]
+    assert out["contaminated"].tolist() == [True, False, True, False]
+
+
+def test_decontaminate_empty_benchmark():
+    from matomo_log_analytics_ray.ops import decontam
+
+    bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "text": pd.Series([], dtype=object)})
+    )
+    train = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["anything"]}))
+    out = decontam.decontaminate(train, bench).to_pandas()
+    assert out["n_overlap"].tolist() == [0] and not out["contaminated"].iloc[0]
