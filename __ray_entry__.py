@@ -615,6 +615,19 @@ def _q_text_clean(sf_dir: str):
     ).select_columns(["event_id", "clean_text", "n_redactions"])
 
 
+def _q_prepare_neardup_counts(sf_dir: str):
+    """The prepare pipeline with near-duplicate CLUSTER removal layered
+    on exact dedup (LSH -> Jaccard verify -> connected components ->
+    canonical keep), fully replayed in SQL including the recursive-CTE
+    component labeling."""
+    import ray.data
+
+    from matomo_log_analytics_ray.pipelines import prepare
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return prepare.prepare_training_data(docs, near_dup=True)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label embedding centroid (grouped vector mean): per-block
     (group, dim, sum, count) partials -> driver fold; vectors never
@@ -1414,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": _q_text_clean,
         "decontaminate_train": _q_decontaminate,
         "embedding_centroids": _q_embedding_centroids,
+        "prepare_neardup_counts": _q_prepare_neardup_counts,
         "domain_mix_sample": _q_domain_mix_sample,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -1581,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_distinct FROM events GROUP BY event_type"
         ),
         "prepare_training_counts": oracle.prepare_training_counts_sql(),
+        "prepare_neardup_counts": oracle.prepare_training_counts_sql(near_dup=True),
         "j5_orders_anti_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"

@@ -694,7 +694,9 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
   AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL {hours} HOUR"""
 
 
-def prepare_training_counts_sql(quality_min: float = 0.3) -> str:
+def prepare_training_counts_sql(
+    quality_min: float = 0.3, near_dup: bool = False
+) -> str:
     """DuckDB replay of pipelines/prepare.prepare_training_data over the
     ``documents`` view: exact dedup (min doc_id per text) -> quality
     score (same rounded-ratio arithmetic as ops/textstats.quality_batch)
@@ -710,12 +712,31 @@ def prepare_training_counts_sql(quality_min: float = 0.3) -> str:
         f"count(*) FILTER (WHERE w.w IN ({in_list(STOPWORDS[lang])})) AS v_{lang}"
         for lang in STOPWORDS
     )
+    nd_ctes = ""
+    nd_filter = ""
+    if near_dup:
+        # near-dup cluster removal: the same recursive-CTE component
+        # labeling as dedup_clusters_sql, dropping non-canonical nodes
+        nd_ctes = f"""{_jaccard_pairs_ctes(0.8, 3)},
+e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+cc AS (SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u),
+nd_drop AS (SELECT node FROM cc WHERE cluster_id < node),
+"""
+        nd_filter = " AND doc_id NOT IN (SELECT node FROM nd_drop)"
     return f"""
-WITH kept AS (
+WITH RECURSIVE {nd_ctes}kept AS (
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 ), d AS (
     SELECT doc_id, text FROM documents
-    WHERE doc_id IN (SELECT doc_id FROM kept)
+    WHERE doc_id IN (SELECT doc_id FROM kept){nd_filter}
 ), w AS (
     SELECT doc_id,
            unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w

@@ -49,6 +49,8 @@ def prepare_training_data(
     num_partitions: int | None = None,
     lang_filter: bool = True,
     broadcast_limit: int = 5_000_000,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.8,
 ) -> pd.DataFrame:
     """Run the full preparation flow; returns the per-split counters
     (split, n_docs, total_tokens). If ``out_dir`` is given, also writes
@@ -82,6 +84,22 @@ def prepare_training_data(
         surviving = docs.join(
             keep, "inner", num_partitions=num_partitions,
             on=("doc_id",), right_on=("doc_id",),
+        )
+
+    if near_dup:
+        # near-duplicate CLUSTER removal on top of exact dedup: LSH
+        # candidates -> exact n-gram Jaccard verify -> connected
+        # components -> drop non-canonical members (ops/cluster's
+        # adaptive broadcast anti-filter / left_anti join)
+        from ..ops import cluster as cluster_ops
+
+        cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+        pairs = dedup.ngram_jaccard_verify_ds(
+            cand, docs, threshold=near_dup_threshold
+        )
+        surviving = cluster_ops.keep_canonical(
+            surviving, pairs, broadcast_limit=broadcast_limit,
+            num_partitions=num_partitions,
         )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:

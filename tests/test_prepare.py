@@ -111,3 +111,34 @@ def test_compact_then_append_then_recompact_keeps_all_rows(tmp_path):
     assert sorted(rows["x"].tolist()) == sorted(
         list(range(30)) + list(range(100, 120))
     )
+
+
+def test_prepare_near_dup_drops_cluster_members():
+    """near_dup=True removes non-canonical near-duplicate cluster
+    members on top of exact dedup (chain a~b, b~c collapses to one)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "data model to train the value of the day with more words"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                base,
+                base + " extra",          # near-dup of 0
+                base + " extra extra",    # near-dup of 1 (chain)
+                "a completely different document about the training of "
+                "models and the values of data in the modern world today",
+                base,                      # exact dup of 0
+                "the third unrelated text with the usual stopwords and "
+                "a long enough tail of words to pass the quality bar ok",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    plain = prepare.prepare_training_data(ds)
+    near = prepare.prepare_training_data(ds, near_dup=True, near_dup_threshold=0.7)
+    # plain: exact dedup drops doc 4 only -> 5 docs; near-dup also
+    # drops 1 and 2 (transitively clustered with 0) -> 3 docs
+    assert int(plain["n_docs"].sum()) == 5
+    assert int(near["n_docs"].sum()) == 3
