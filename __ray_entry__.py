@@ -615,6 +615,76 @@ def _q_text_clean(sf_dir: str):
     ).select_columns(["event_id", "clean_text", "n_redactions"])
 
 
+def _q_rank_user_events(sf_dir: str):
+    """Full ROW_NUMBER window function: every event ranked within its
+    user by (ts, event_id). Interior runs rank locally; only O(blocks)
+    boundary partials cross the driver (ops/rank.grouped_rank)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return rank.grouped_rank(
+        ds, ["user_id"], ["ts", "event_id"], rank_col="rnk"
+    ).select_columns(["event_id", "user_id", "rnk"])
+
+
+def _q_window_distinct_users(sf_dir: str):
+    """Per-day distinct active users — tumbling window composed with
+    the exact distinct-count operator (stateless bucket projection,
+    then only distinct (window, user) pairs shuffle through the
+    sorted-run count)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"),
+                "user_id": b["user_id"].to_numpy(),
+            }
+        )
+
+    out = distinct.distinct_counts(
+        ds.map_batches(bucket, batch_format="pandas"), "day", "user_id"
+    )
+    return out
+
+
+def _q_quantile_filter_events(sf_dir: str):
+    """Quantile-threshold filter: keep events at or above their
+    event_type's P90 of value — the percentile-based quality/outlier
+    filtering step (composition: ops/quantiles exact grouped
+    quantiles -> broadcast threshold table -> stateless filter; the
+    corpus itself never shuffles)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import quantiles
+
+    cols = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    qs = quantiles.grouped_quantiles(cols, "event_type", "value", qs=(0.9,))
+    thr = dict(zip(qs["event_type"], qs["value"]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].map(thr)
+        return b[b["value"] >= t]
+
+    return ds.map_batches(keep, batch_format="pandas").select_columns(["event_id"])
+
+
 def _q_prepare_neardup_counts(sf_dir: str):
     """The prepare pipeline with near-duplicate CLUSTER removal layered
     on exact dedup (LSH -> Jaccard verify -> connected components ->
@@ -1428,6 +1498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_train": _q_decontaminate,
         "embedding_centroids": _q_embedding_centroids,
         "prepare_neardup_counts": _q_prepare_neardup_counts,
+        "quantile_filter_events": _q_quantile_filter_events,
+        "window_distinct_users": _q_window_distinct_users,
+        "rank_user_events": _q_rank_user_events,
         "domain_mix_sample": _q_domain_mix_sample,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -1596,6 +1669,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prepare_training_counts": oracle.prepare_training_counts_sql(),
         "prepare_neardup_counts": oracle.prepare_training_counts_sql(near_dup=True),
+        "rank_user_events": (
+            "SELECT event_id, user_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "window_distinct_users": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY day"
+        ),
+        "quantile_filter_events": (
+            "SELECT e.event_id FROM events e JOIN ("
+            "  SELECT event_type, quantile_disc(value, 0.9) AS thr"
+            "  FROM events GROUP BY event_type"
+            ") t USING (event_type) WHERE e.value >= t.thr"
+        ),
         "j5_orders_anti_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"

@@ -127,6 +127,71 @@ def main_ann() -> None:
     ray.shutdown()
 
 
+TEXT = "--text" in sys.argv
+TEXT_DOCS = 200_000
+
+
+def main_text() -> None:
+    """New-op probe over a 200k-doc corpus (datagen documents): the
+    round-2 text/dedup additions at 2000x the sf0.01 gate volume."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.ops import (
+        cluster, decontam, dedup, split, textclean, textstats,
+    )
+
+    dpath = datagen.documents_path(TEXT_DOCS)
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n_out = len(out) if isinstance(out, pd.DataFrame) else out.count()
+        results[name] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "rows_out": int(n_out),
+            "docs_per_sec": round(TEXT_DOCS / (time.monotonic() - t0)),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    def rd():
+        return ray.data.read_parquet(dpath)
+
+    timed("tfidf_top_terms", lambda: textstats.tfidf_top_terms(rd(), k=5))
+    timed("text_clean", lambda: rd().map_batches(
+        textclean.clean_batch, batch_format="pandas"))
+    timed("repetition", lambda: rd().map_batches(
+        textstats.repetition_batch, batch_format="pandas"))
+    def with_grp():
+        return rd().map_batches(
+            lambda b: b.assign(grp=(b["doc_id"] % 4).astype(str)),
+            batch_format="pandas",
+        )
+
+    timed("rate_sample", lambda: split.rate_sample(
+        with_grp(), "doc_id", "grp", {"0": 1.0, "1": 0.5}, default_rate=0.25))
+    timed("decontaminate_1pct_bench", lambda: decontam.decontaminate(
+        rd().map_batches(lambda b: b[b["doc_id"] % 100 != 0], batch_format="pandas"),
+        rd().map_batches(lambda b: b[b["doc_id"] % 100 == 0], batch_format="pandas"),
+    ))
+
+    def clusters():
+        docs = rd()
+        cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+        pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+        return cluster.connected_components(pairs)
+
+    timed("lsh_verify_cluster", clusters)
+
+    print(json.dumps({"n_docs": TEXT_DOCS, "num_cpus": 32, "results": results}))
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
     import ray.data
@@ -198,4 +263,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_ann() if ANN else main()
+    main_ann() if ANN else (main_text() if TEXT else main())
