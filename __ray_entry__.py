@@ -615,6 +615,64 @@ def _q_text_clean(sf_dir: str):
     ).select_columns(["event_id", "clean_text", "n_redactions"])
 
 
+def _q_lag_user_events(sf_dir: str):
+    """LAG(value, 1) per user ordered by (ts, event_id): bounded
+    one-row boundary carry via the broadcast block-tail fragment table
+    (ops/window.grouped_lag)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return window.grouped_lag(
+        ds, ["user_id"], ["ts", "event_id"], "value", n=1
+    ).select_columns(["event_id", "lag_val"])
+
+
+def _q_rolling_user_value(sf_dir: str):
+    """3-row rolling mean of value per user ordered by (ts, event_id)
+    — ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, cumsum-difference
+    kernel with k-row boundary carry."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return window.grouped_rolling_mean(
+        ds, ["user_id"], ["ts", "event_id"], "value", window=3
+    ).select_columns(["event_id", "rolling_mean"])
+
+
+def _q_running_user_value(sf_dir: str):
+    """Running per-user SUM(value) — SQL ROWS UNBOUNDED PRECEDING via
+    the grouped-prefix machinery (local cumsum + O(blocks) driver
+    offsets)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rank.grouped_cumsum(ds, ["user_id"], ["ts", "event_id"], "value")
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "running_sum": np.round(b["running_sum"].to_numpy(), 6),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 def _q_rank_user_events(sf_dir: str):
     """Full ROW_NUMBER window function: every event ranked within its
     user by (ts, event_id). Interior runs rank locally; only O(blocks)
@@ -1501,6 +1559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter_events": _q_quantile_filter_events,
         "window_distinct_users": _q_window_distinct_users,
         "rank_user_events": _q_rank_user_events,
+        "lag_user_events": _q_lag_user_events,
+        "rolling_user_value": _q_rolling_user_value,
+        "running_user_value": _q_running_user_value,
         "domain_mix_sample": _q_domain_mix_sample,
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -1672,6 +1733,21 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "lag_user_events": (
+            "SELECT event_id, LAG(value, 1) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS lag_val FROM events"
+        ),
+        "rolling_user_value": (
+            "SELECT event_id, ROUND(AVG(value) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean "
+            "FROM events"
+        ),
+        "running_user_value": (
+            "SELECT event_id, ROUND(SUM(value) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS UNBOUNDED PRECEDING), 6) AS running_sum FROM events"
         ),
         "window_distinct_users": (
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "

@@ -267,6 +267,8 @@ def main() -> None:
         "tfidf_top_terms",
         "text_clean",
         "decontaminate_train",
+        "rank_user_events",
+        "rolling_user_value",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)

@@ -54,3 +54,62 @@ def test_rank_descending():
         .sort_values("rid")
     )
     assert got["rnk"].tolist() == [3, 1, 2, 1]
+
+
+def test_cumsum_matches_pandas():
+    from matomo_log_analytics_ray.ops import rank as rankmod
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, size=n),
+            "v": rng.uniform(0, 10, size=n),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    df.loc[: n // 2, "k"] = 5  # hot key across blocks
+    want = (
+        df.sort_values(["k", "v", "rid"])
+        .groupby("k", sort=False)["v"]
+        .cumsum()
+        .reindex(df.sort_values(["k", "v", "rid"]).index)
+    )
+    want_map = dict(zip(df.sort_values(["k", "v", "rid"])["rid"], want))
+    for nblocks in (1, 12):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = rankmod.grouped_cumsum(ds, ["k"], ["v", "rid"], "v").to_pandas()
+        for rid, s in zip(got["rid"], got["running_sum"]):
+            assert abs(s - want_map[rid]) < 1e-8
+
+
+def test_lag_and_rolling_match_pandas():
+    from matomo_log_analytics_ray.ops import window
+
+    rng = np.random.default_rng(8)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, size=n),
+            "v": rng.uniform(0, 100, size=n).round(3),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    s = df.sort_values(["k", "v", "rid"])
+    want_lag = s.groupby("k", sort=False)["v"].shift(1)
+    want_roll = (
+        s.groupby("k", sort=False)["v"].rolling(3, min_periods=1).mean().round(6)
+    )
+    lag_map = dict(zip(s["rid"], want_lag))
+    roll_map = dict(zip(s["rid"], want_roll.to_numpy()))
+    for nblocks in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got_lag = window.grouped_lag(ds, ["k"], ["v", "rid"], "v").to_pandas()
+        for rid, lv in zip(got_lag["rid"], got_lag["lag_val"]):
+            w = lag_map[rid]
+            assert (pd.isna(lv) and pd.isna(w)) or abs(lv - w) < 1e-9
+        got_roll = window.grouped_rolling_mean(
+            ds, ["k"], ["v", "rid"], "v", window=3
+        ).to_pandas()
+        for rid, rv in zip(got_roll["rid"], got_roll["rolling_mean"]):
+            assert abs(rv - roll_map[rid]) < 1e-6
