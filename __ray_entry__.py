@@ -615,6 +615,166 @@ def _q_text_clean(sf_dir: str):
     ).select_columns(["event_id", "clean_text", "n_redactions"])
 
 
+def _q_pivot_daily_events(sf_dir: str):
+    """Pivot / conditional aggregation: one row per day with a count
+    column per event type (fixed category set). Per-batch crosstab
+    partials -> bounded-cardinality groupby sum; the shuffle moves
+    (batches x days) partial rows, never events."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")
+        ct = pd.crosstab(day, b["event_type"])
+        for t in types:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[types].astype("int64")
+        ct.columns = [f"n_{t}" for t in types]
+        return ct.reset_index(names="day")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for t in types:
+            b[f"n_{t}"] = b[f"n_{t}"].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def _q_rollup_event_day(sf_dir: str):
+    """ROLLUP / GROUPING SETS aggregate: (event_type, day) counts plus
+    per-type subtotals plus the grand total in one result ('ALL'
+    marks the rolled-up level). The fine level is a bounded-cardinality
+    distributed groupby; coarser levels fold from it (they are exact
+    sums of the fine rows), so the rollup costs one shuffle, not
+    three."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(day=b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")).groupby(
+            ["event_type", "day"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    fine["n"] = fine["n"].astype("int64")
+    by_type = fine.groupby("event_type", as_index=False)["n"].sum().assign(day="ALL")
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "day": ["ALL"], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "day", "n"]]
+
+
+def _q_q3_shipping_revenue(sf_dir: str):
+    """TPC-H Q3-shaped 3-table star query: BUILDING customers
+    (broadcast semi-filter pushed into the orders scan) x date-filtered
+    orders x shipdate-filtered lineitem (per-batch revenue pre-agg
+    before the hash join), final revenue per order via the
+    sorted-run grouped sum (no per-group Ray overhead)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import groupagg
+
+    cutoff = pd.Timestamp("1998-01-01")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.sort(
+        cust.filter(expr="c_mktsegment == 'BUILDING'")
+        .to_pandas()["c_custkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    kref = ray.put(keys)
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        b = b[b["o_orderdate"] < cutoff]
+        v = b["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ks, v)
+        ok = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
+        out = b[ok][["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+        out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+        return out
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pandas")
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "rev": pd.Series([], dtype="float64"),
+                }
+            )
+        # fixed-point: prices/discounts are 2-decimal values, so
+        # round(x*100) is exact — revenue accumulates as integer
+        # 1/10000ths and the gate never hits a float .005 boundary
+        # (12 groups flipped by 0.01 under ROUND(...,2), NOTES rule)
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100.0)
+        disc = np.round(b["l_discount"].to_numpy() * 100.0)
+        rev = cents * (100.0 - disc)
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(), "rev": rev})
+            .groupby("l_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    li = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pandas")
+        .repartition(8)  # drop degenerate empties pre-join
+    )
+
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = groupagg.sorted_group_sum(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"], "rev",
+        alias="revenue_e4",
+    )
+    return out.map_batches(
+        lambda b: b.assign(revenue_e4=b["revenue_e4"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
 def _q_lag_user_events(sf_dir: str):
     """LAG(value, 1) per user ordered by (ts, event_id): bounded
     one-row boundary carry via the broadcast block-tail fragment table
@@ -1559,6 +1719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter_events": _q_quantile_filter_events,
         "window_distinct_users": _q_window_distinct_users,
         "rank_user_events": _q_rank_user_events,
+        "q3_shipping_revenue": _q_q3_shipping_revenue,
+        "pivot_daily_events": _q_pivot_daily_events,
+        "rollup_event_day": _q_rollup_event_day,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
         "running_user_value": _q_running_user_value,
@@ -1733,6 +1896,34 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "rollup_event_day": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(day, 'ALL') AS day, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day"
+            "  FROM events"
+            ") GROUP BY ROLLUP (event_type, day)"
+        ),
+        "pivot_daily_events": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            + ", ".join(
+                f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+                for t in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY day"
+        ),
+        "q3_shipping_revenue": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            "  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "  AS revenue_e4 "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority"
         ),
         "lag_user_events": (
             "SELECT event_id, LAG(value, 1) OVER ("

@@ -269,6 +269,8 @@ def main() -> None:
         "decontaminate_train",
         "rank_user_events",
         "rolling_user_value",
+        "q3_shipping_revenue",
+        "pivot_daily_events",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)

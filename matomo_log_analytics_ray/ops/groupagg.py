@@ -50,3 +50,66 @@ def per_key_counts_salted(
     first = salted.groupby([key, "salt"]).aggregate(Sum("n", alias_name="n"))
     final = first.groupby(key).aggregate(Sum("n", alias_name="n"))
     return final
+
+
+def sorted_group_sum(
+    rows: "ray.data.Dataset", key_cols: list[str], val_col: str, alias: str = "s"
+) -> "ray.data.Dataset":
+    """groupby(key_cols).sum(val_col) for HIGH-CARDINALITY keys via
+    sort + vectorized run reduction (the ops/dedup.sorted_group_counts
+    shape with a sum measure): interior runs collapse in-block with
+    numpy; each block's first/last run forwards ONE pre-reduced
+    (key, partial_sum) row to the single merge pass, so a hot key
+    never funnels raw rows. Sums accumulate in float64."""
+
+    sorted_ds = rows.sort(key_cols)
+
+    def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
+            out[alias] = pd.Series([], dtype="float64")
+            out["kind"] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in key_cols:
+            v = b[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        last = len(starts) - 1
+        vals = b[val_col].to_numpy(dtype=np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        run_sums = cs[ends] - cs[starts]
+        interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
+        rows_out = b.iloc[starts[interior]][key_cols].copy()
+        rows_out[alias] = run_sums[interior]
+        rows_out["kind"] = "done"
+        edge_runs = [0] if last == 0 else [0, last]
+        edges = b.iloc[[starts[r] for r in edge_runs]][key_cols].copy()
+        edges[alias] = run_sums[edge_runs]
+        edges["kind"] = "edge"
+        return pd.concat([rows_out, edges], ignore_index=True)
+
+    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    done = tagged.map_batches(
+        lambda b: b[b["kind"] == "done"][[*key_cols, alias]], batch_format="pandas"
+    )
+
+    def edge_sums(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
+            out[alias] = pd.Series([], dtype="float64")
+            return pd.DataFrame(out)
+        return b.groupby(key_cols, as_index=False, sort=False)[alias].sum()
+
+    edges = (
+        tagged.map_batches(
+            lambda b: b[b["kind"] == "edge"][[*key_cols, alias]],
+            batch_format="pandas",
+        )
+        .repartition(1)
+        .map_batches(edge_sums, batch_format="pandas")
+    )
+    return done.union(edges)

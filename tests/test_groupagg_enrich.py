@@ -1,6 +1,7 @@
 """Salted grouped aggregation + resolver-kernel parity."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -79,3 +80,30 @@ def test_dynamic_site_resolver_first_seen_allocation():
     out2.materialize()  # lazy dataset: registry only fills once consumed
     snap2 = ray.get(reg2.snapshot.remote())
     assert snap2["a.example"] == snap["a.example"] and snap2["d.example"] == 4
+
+
+def test_sorted_group_sum_matches_pandas():
+    from matomo_log_analytics_ray.ops import groupagg
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, size=n),
+            "k2": rng.choice(["a", "b"], size=n),
+            "v": rng.uniform(-10, 10, size=n),
+        }
+    )
+    df.loc[: n // 2, "k"] = 13  # hot key spanning blocks
+    want = df.groupby(["k", "k2"], as_index=False)["v"].sum()
+    for nblocks in (1, 11):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = (
+            groupagg.sorted_group_sum(ds, ["k", "k2"], "v", alias="s")
+            .to_pandas()
+            .sort_values(["k", "k2"])
+            .reset_index(drop=True)
+        )
+        m = got.merge(want, on=["k", "k2"])
+        assert len(m) == len(want) == len(got)
+        assert np.allclose(m["s"], m["v"], atol=1e-9)
