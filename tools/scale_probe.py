@@ -247,6 +247,25 @@ def main() -> None:
     timed("sessionize_30min", lambda: sessionize.sessionize(
         ray.data.read_parquet(src, columns=["user_id", "ts"])
     ).count())
+    from matomo_log_analytics_ray.ops import rank as rankmod
+    from matomo_log_analytics_ray.ops import window as winmod
+
+    timed("grouped_rank", lambda: rankmod.grouped_rank(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]),
+        ["user_id"], ["ts", "event_id"],
+    ).count())
+    timed("grouped_cumsum", lambda: rankmod.grouped_cumsum(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        ["user_id"], ["ts", "event_id"], "value",
+    ).count())
+    timed("grouped_lag", lambda: winmod.grouped_lag(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        ["user_id"], ["ts", "event_id"], "value",
+    ).count())
+    timed("rolling_mean_w3", lambda: winmod.grouped_rolling_mean(
+        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        ["user_id"], ["ts", "event_id"], "value", window=3,
+    ).count())
     timed("range_join_1h", lambda: asof.range_join(
         ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
             lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
