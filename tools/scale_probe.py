@@ -209,7 +209,12 @@ def main() -> None:
     def timed(name, fn):
         t0 = time.monotonic()
         out = fn()
-        n_out = len(out) if hasattr(out, "__len__") else out.count()
+        if isinstance(out, int):
+            n_out = out
+        elif isinstance(out, pd.DataFrame):
+            n_out = len(out)
+        else:
+            n_out = out.count()
         results[name] = {
             "sec": round(time.monotonic() - t0, 2),
             "rows_out": int(n_out),
