@@ -714,6 +714,10 @@ def _q_q3_shipping_revenue(sf_dir: str):
     def orders_side(b: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(kref)
         b = b[b["o_orderdate"] < cutoff]
+        if len(ks) == 0 or len(b) == 0:
+            out = b.iloc[:0][["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+            out["o_orderdate"] = out["o_orderdate"].astype(str)
+            return out
         v = b["o_custkey"].to_numpy(dtype=np.int64)
         pos = np.searchsorted(ks, v)
         ok = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
@@ -808,9 +812,12 @@ def _q_rolling_user_value(sf_dir: str):
 
 
 def _q_running_user_value(sf_dir: str):
-    """Running per-user SUM(value) — SQL ROWS UNBOUNDED PRECEDING via
-    the grouped-prefix machinery (local cumsum + O(blocks) driver
-    offsets)."""
+    """Running per-user SUM — SQL ROWS UNBOUNDED PRECEDING via the
+    grouped-prefix machinery (local cumsum + O(blocks) driver offsets).
+    Gated on floor(value) integers: running sums of floats are exactly
+    the large-magnitude reassociation case the NOTES float-gating rule
+    forbids hashing, while integer prefix sums are exact on both
+    sides."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -819,6 +826,9 @@ def _q_running_user_value(sf_dir: str):
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: b.assign(value=np.floor(b["value"].to_numpy())),
+        batch_format="pandas",
     )
     out = rank.grouped_cumsum(ds, ["user_id"], ["ts", "event_id"], "value")
 
@@ -826,7 +836,7 @@ def _q_running_user_value(sf_dir: str):
         return pd.DataFrame(
             {
                 "event_id": b["event_id"].to_numpy(),
-                "running_sum": np.round(b["running_sum"].to_numpy(), 6),
+                "running_sum": b["running_sum"].to_numpy().astype("int64"),
             }
         )
 
@@ -1936,9 +1946,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "running_user_value": (
-            "SELECT event_id, ROUND(SUM(value) OVER ("
+            "SELECT event_id, CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id"
-            "  ROWS UNBOUNDED PRECEDING), 6) AS running_sum FROM events"
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum FROM events"
         ),
         "window_distinct_users": (
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "

@@ -341,9 +341,9 @@ def range_join(
         # min on a 20M-row self-join that 32 finished in 38 s), while
         # partitions > CPUs starve the streaming executor under small
         # sessions (the fixed-pool deadlock, NOTES_ROUND1).
-        import ray as _ray
+        from . import default_join_partitions
 
-        num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+        num_partitions = default_join_partitions()
 
     p = points.map_batches(point_rows, batch_format="pandas")
     i = intervals.map_batches(ivl_rows, batch_format="pandas")

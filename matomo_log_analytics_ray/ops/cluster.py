@@ -65,8 +65,7 @@ import ray.data
 from . import dedup, hashing
 
 
-def _default_partitions() -> int:
-    return max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+from . import default_join_partitions as _default_partitions
 
 
 def _contract(node: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

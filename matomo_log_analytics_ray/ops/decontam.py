@@ -68,9 +68,15 @@ def decontaminate(
         if len(sh) and len(arr):
             doc_of = np.repeat(np.arange(n), np.diff(soff))
             # distinct shingles per doc (shingle_hashes can repeat a
-            # gram within a doc; the oracle counts distinct grams)
-            uniq = np.unique(np.stack([doc_of.astype(np.int64), sh.view(np.int64)], axis=1), axis=0)
-            ud, ug = uniq[:, 0], uniq[:, 1].view(np.uint64)
+            # gram within a doc; the oracle counts distinct grams) via
+            # one lexsort + adjacent-difference mask — the house
+            # pattern; np.unique(axis=0) would copy and void-sort a
+            # 2-column matrix on this corpus-streaming hot loop
+            order = np.lexsort((sh, doc_of))
+            ds_, ss_ = doc_of[order], sh[order]
+            first = np.ones(len(ss_), dtype=bool)
+            first[1:] = (ss_[1:] != ss_[:-1]) | (ds_[1:] != ds_[:-1])
+            ud, ug = ds_[first], ss_[first]
             pos = np.searchsorted(arr, ug)
             pos = np.minimum(pos, len(arr) - 1)
             hit = arr[pos] == ug

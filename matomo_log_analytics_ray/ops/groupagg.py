@@ -65,23 +65,22 @@ def sorted_group_sum(
     sorted_ds = rows.sort(key_cols)
 
     def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+        from .rank import _run_bounds
+
         n = len(b)
         if n == 0:
             out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
             out[alias] = pd.Series([], dtype="float64")
             out["kind"] = pd.Series([], dtype=object)
             return pd.DataFrame(out)
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for c in key_cols:
-            v = b[c].to_numpy()
-            change[1:] |= v[1:] != v[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
+        starts, ends = _run_bounds(b, key_cols)
         last = len(starts) - 1
         vals = b[val_col].to_numpy(dtype=np.float64)
-        cs = np.concatenate([[0.0], np.cumsum(vals)])
-        run_sums = cs[ends] - cs[starts]
+        # per-run DIRECT sums (add.reduceat), not cumsum differences: a
+        # block-wide running total can pass 2^53 and silently break the
+        # exact-integer fixed-point gates (q3) even when every RUN sum
+        # is comfortably exact
+        run_sums = np.add.reduceat(vals, starts)
         interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
         rows_out = b.iloc[starts[interior]][key_cols].copy()
         rows_out[alias] = run_sums[interior]

@@ -305,9 +305,9 @@ def tfidf_top_terms(
 
     # join path: (doc, word, tf) rows against the DF table, then the
     # distributed ROW_NUMBER shape
-    import ray as _ray
+    from . import default_join_partitions
 
-    num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 2)
+    num_partitions = default_join_partitions()
     tf_rows = (
         ds.map_batches(tf_frame, batch_format="pandas")
         .repartition(num_partitions)  # drop schema-less empties pre-join

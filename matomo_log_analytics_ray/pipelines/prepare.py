@@ -57,7 +57,9 @@ def prepare_training_data(
     the surviving rows as parquet partitioned by split."""
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     if num_partitions is None:
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        from ..ops import default_join_partitions
+
+        num_partitions = default_join_partitions()
 
     # materialize the keep-id projection ONCE (ids only, 8 B each) so
     # deciding broadcast-vs-join and the chosen path don't each re-run
