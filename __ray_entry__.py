@@ -651,6 +651,22 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_pack_documents(sf_dir: str):
+    """Sequence packing: greedy in-id-order packing of docs into
+    <=2000-char training sequences per 64-doc shard (ops/pack.py).
+    Interior shards pack in-block; boundary-shard rows — O(shard_size)
+    per block — pack in one micro-merge. Oracle: DuckDB recursive CTE
+    replaying the identical greedy fill."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import pack
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return pack.pack_greedy(ds, budget=2000, shard_size=64)
+
+
 def _q_rollup_event_day(sf_dir: str):
     """ROLLUP / GROUPING SETS aggregate: (event_type, day) counts plus
     per-type subtotals plus the grand total in one result ('ALL'
@@ -1732,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_revenue": _q_q3_shipping_revenue,
         "pivot_daily_events": _q_pivot_daily_events,
         "rollup_event_day": _q_rollup_event_day,
+        "pack_documents": _q_pack_documents,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
         "running_user_value": _q_running_user_value,
@@ -1906,6 +1923,20 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "pack_documents": (
+            "WITH RECURSIVE d AS ("
+            "  SELECT doc_id, doc_id // 64 AS shard, n_chars AS sz,"
+            "    ROW_NUMBER() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS rn"
+            "  FROM documents"
+            "), rec(shard, rn, doc_id, fill, pack_idx) AS ("
+            "  SELECT shard, rn, doc_id, sz, CAST(0 AS BIGINT) FROM d WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT d.shard, d.rn, d.doc_id,"
+            "    CASE WHEN rec.fill + d.sz <= 2000 THEN rec.fill + d.sz ELSE d.sz END,"
+            "    CASE WHEN rec.fill + d.sz <= 2000 THEN rec.pack_idx ELSE rec.pack_idx + 1 END"
+            "  FROM d JOIN rec ON d.shard = rec.shard AND d.rn = rec.rn + 1"
+            ") SELECT doc_id, shard, pack_idx FROM rec"
         ),
         "rollup_event_day": (
             "SELECT COALESCE(event_type, 'ALL') AS event_type, "

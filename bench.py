@@ -271,6 +271,7 @@ def main() -> None:
         "rolling_user_value",
         "q3_shipping_revenue",
         "pivot_daily_events",
+        "pack_documents",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
