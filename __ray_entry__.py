@@ -651,6 +651,19 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_truncate_documents(sf_dir: str):
+    """Token-budget truncation over documents (first 32 words +
+    kept-count and truncated-flag audit columns)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textclean
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: textclean.truncate_batch(b, max_words=32), batch_format="pandas"
+    ).select_columns(["doc_id", "truncated_text", "n_words_kept", "was_truncated"])
+
+
 def _q_pack_documents(sf_dir: str):
     """Sequence packing: greedy in-id-order packing of docs into
     <=2000-char training sequences per 64-doc shard (ops/pack.py).
@@ -1749,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_daily_events": _q_pivot_daily_events,
         "rollup_event_day": _q_rollup_event_day,
         "pack_documents": _q_pack_documents,
+        "truncate_documents": _q_truncate_documents,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
         "running_user_value": _q_running_user_value,
@@ -1923,6 +1937,13 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "truncate_documents": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all("
+            "  coalesce(text, ''), '\\S+') AS ws FROM documents) "
+            "SELECT doc_id, array_to_string(ws[1:32], ' ') AS truncated_text, "
+            "CAST(least(len(ws), 32) AS BIGINT) AS n_words_kept, "
+            "len(ws) > 32 AS was_truncated FROM w"
         ),
         "pack_documents": (
             "WITH RECURSIVE d AS ("

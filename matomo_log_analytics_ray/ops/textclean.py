@@ -53,3 +53,23 @@ def clean_batch(
     out[out_col] = t
     out[count_col] = n_red
     return out
+
+
+def truncate_batch(
+    batch: pd.DataFrame,
+    text_col: str = "text",
+    max_words: int = 32,
+    out_col: str = "truncated_text",
+) -> pd.DataFrame:
+    """Token-budget truncation: keep the first ``max_words``
+    whitespace-separated words (whitespace-normalizing — words are
+    rejoined with single spaces, matching the SQL replay). Adds
+    ``out_col``, ``n_words_kept`` and ``was_truncated`` — the audit
+    columns a truncation stage must report."""
+    words = batch[text_col].fillna("").str.split()
+    n = words.str.len().fillna(0).astype("int64")
+    out = batch.copy()
+    out[out_col] = words.str[:max_words].str.join(" ")
+    out["n_words_kept"] = np.minimum(n, max_words)
+    out["was_truncated"] = n > max_words
+    return out

@@ -237,3 +237,13 @@ def test_decontaminate_empty_benchmark():
     train = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["anything"]}))
     out = decontam.decontaminate(train, bench).to_pandas()
     assert out["n_overlap"].tolist() == [0] and not out["contaminated"].iloc[0]
+
+
+def test_truncate_batch():
+    from matomo_log_analytics_ray.ops import textclean
+
+    df = pd.DataFrame({"text": ["a b c d e", "one  two", None, ""]})
+    out = textclean.truncate_batch(df, max_words=3)
+    assert out["truncated_text"].tolist() == ["a b c", "one two", "", ""]
+    assert out["n_words_kept"].tolist() == [3, 2, 0, 0]
+    assert out["was_truncated"].tolist() == [True, False, False, False]
