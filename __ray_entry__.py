@@ -651,6 +651,19 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_repeated_substrings(sf_dir: str):
+    """Exact repeated-substring detection (char-level 40-char windows,
+    vectorized Rabin-Karp): per doc, how many of its distinct windows
+    occur verbatim in another doc — the exact-substring dedup signal.
+    Oracle replays the same windows as SQL substr lists."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import substr
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substr.repeated_substring_docs(ds, w=40)
+
+
 def _q_truncate_documents(sf_dir: str):
     """Token-budget truncation over documents (first 32 words +
     kept-count and truncated-flag audit columns)."""
@@ -1763,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_event_day": _q_rollup_event_day,
         "pack_documents": _q_pack_documents,
         "truncate_documents": _q_truncate_documents,
+        "repeated_substrings": _q_repeated_substrings,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
         "running_user_value": _q_running_user_value,
@@ -1937,6 +1951,19 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "repeated_substrings": (
+            "WITH wnd AS ("
+            "  SELECT doc_id, unnest(list_distinct(list_transform("
+            "    range(1, len(text) - 38), i -> substr(text, i, 40)))) AS g"
+            "  FROM documents WHERE len(text) >= 40"
+            "), shared AS ("
+            "  SELECT g FROM wnd GROUP BY g HAVING count(DISTINCT doc_id) >= 2"
+            ") SELECT d.doc_id, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_shared_windows "
+            "FROM documents d LEFT JOIN ("
+            "  SELECT doc_id, count(*) AS cnt FROM wnd"
+            "  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id"
+            ") c USING (doc_id)"
         ),
         "truncate_documents": (
             "WITH w AS (SELECT doc_id, regexp_extract_all("

@@ -1,0 +1,193 @@
+"""Exact repeated-substring detection across documents.
+
+The character-level complement of the shingle dedup families (the
+published exact-substring dedup insight: long verbatim repeats across
+training documents are memorization hazards even when whole-document
+similarity is low). A doc is flagged when any of its ``w``-character
+windows occurs verbatim in ANOTHER doc.
+
+Shape, all house machinery:
+
+1. per batch, EVERY stride-1 window of every doc is hashed with a
+   vectorized Rabin-Karp prefix hash (uint64 wraparound polynomial:
+   H[i..i+w) = P[i+w] - P[i]*B^w — one subtraction/multiply per
+   window, no Python per-position loop), windows crossing doc
+   boundaries masked out, then deduped per doc with the lexsort-mask
+   pattern. Only distinct (window_hash, doc) pairs leave the worker.
+2. distinct-doc counts per window hash via the sorted-run counter
+   (``dedup.sorted_group_counts`` — high-cardinality safe); hashes
+   with >= 2 docs form the shared-window set.
+3. docs are flagged by membership of their pairs in that set —
+   broadcast searchsorted when it fits, hash semi-join beyond
+   (the prepare/keep_canonical adaptive discipline).
+
+Hash collisions can merge two distinct windows (~2^-64): the flag is
+probabilistically exact, same contract as the minhash family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from . import dedup
+
+_B = np.uint64(1099511628211)  # FNV prime as polynomial base (odd)
+
+
+def _window_hashes(texts: pd.Series, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat window hashes, per-doc offsets) for every stride-1
+    w-char window of every doc; docs shorter than w contribute none."""
+    joined = "".join(texts.fillna("").tolist())
+    lens = texts.fillna("").str.len().to_numpy(dtype=np.int64)
+    n_docs = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    # Fully vectorized polynomial window hashes via the modular-inverse
+    # trick (no per-character Python loop): with Binv = B^-1 mod 2^64
+    # (B is odd, so invertible), define Q[i] = sum_{j<i} c[j]*Binv^j —
+    # a wraparound cumsum — then
+    #   H(s) = (Q[s+w] - Q[s]) * B^s = sum_{j=s}^{s+w-1} c[j]*B^(j-s),
+    # the shift-invariant window fingerprint. Powers come from
+    # np.multiply.accumulate (C-speed, wraps mod 2^64 like everything
+    # here).
+    binv = pow(int(_B), -1, 1 << 64)
+    bpow = np.ones(total + 1, dtype=np.uint64)
+    np.multiply.accumulate(np.full(total, _B, dtype=np.uint64), out=bpow[1:])
+    binvpow = np.ones(total, dtype=np.uint64)
+    if total > 1:
+        np.multiply.accumulate(
+            np.full(total - 1, np.uint64(binv), dtype=np.uint64), out=binvpow[1:]
+        )
+    q = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(codes * binvpow, out=q[1:])
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=doc_off[1:])
+    # window start positions valid within a doc
+    starts = np.arange(total - w + 1, dtype=np.int64) if total >= w else np.empty(0, dtype=np.int64)
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+    doc_of = np.searchsorted(doc_off, starts, side="right") - 1
+    valid = starts + w <= doc_off[doc_of + 1]
+    s = starts[valid]
+    h = (q[s + w] - q[s]) * bpow[s]
+    d = doc_of[valid]
+    counts = np.bincount(d, minlength=n_docs)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return h, offs
+
+
+def repeated_substring_docs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 40,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(id, n_shared_windows): per doc, how many of its DISTINCT
+    w-char windows occur verbatim in at least one OTHER doc (0 = no
+    verbatim repeats). Flag = n_shared_windows > 0."""
+
+    def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
+        h, offs = _window_hashes(b[text_col], w)
+        ids = b[id_col].to_numpy()
+        doc_of = np.repeat(np.arange(len(b)), np.diff(offs))
+        if len(h) == 0:
+            return pd.DataFrame(
+                {"h": pd.Series([], dtype="uint64"), id_col: ids[:0]}
+            )
+        order = np.lexsort((h, doc_of))
+        ds_, hs_ = doc_of[order], h[order]
+        first = np.ones(len(hs_), dtype=bool)
+        first[1:] = (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])
+        return pd.DataFrame({"h": hs_[first], id_col: ids[ds_[first]]})
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pandas").materialize()
+    counts = dedup.sorted_group_counts(
+        pairs.map_batches(lambda b: b[["h"]], batch_format="pandas"), ["h"], alias="n"
+    )
+    shared = counts.map_batches(
+        lambda b: b[b["n"].astype("int64") >= 2][["h"]], batch_format="pandas"
+    ).materialize()
+
+    n_shared = shared.count()
+    if n_shared <= broadcast_limit:
+        arr = (
+            np.sort(shared.to_pandas()["h"].to_numpy(dtype=np.uint64))
+            if n_shared
+            else np.empty(0, dtype=np.uint64)
+        )
+        ref = ray.put(arr)
+
+        def count_hits(b: pd.DataFrame) -> pd.DataFrame:
+            a = ray.get(ref)
+            out = pd.DataFrame({id_col: b[id_col]})
+            if len(a) == 0 or len(b) == 0:
+                out["_hit"] = np.zeros(len(b), dtype=np.int64)
+                return out
+            v = b["h"].to_numpy(dtype=np.uint64)
+            pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+            out["_hit"] = (a[pos] == v).astype(np.int64)
+            return out
+
+        hits = pairs.map_batches(count_hits, batch_format="pandas")
+    else:
+        probe = shared.map_batches(
+            lambda b: b.rename(columns={"h": "sh"}), batch_format="pandas"
+        ).repartition(8)
+        from . import default_join_partitions
+
+        hits = pairs.join(
+            probe,
+            "left_semi",
+            num_partitions=default_join_partitions(),
+            on=("h",),
+            right_on=("sh",),
+        ).map_batches(
+            lambda b: b.assign(_hit=np.int64(1))[[id_col, "_hit"]],
+            batch_format="pandas",
+        )
+
+    # per-doc totals: docs are whole within source batches but hit rows
+    # may split; sum via the sorted-run counter machinery
+    from .groupagg import sorted_group_sum
+
+    sums = sorted_group_sum(
+        hits.map_batches(lambda b: b[[id_col, "_hit"]], batch_format="pandas"),
+        [id_col],
+        "_hit",
+        alias="n_shared_windows",
+    )
+    # docs with no windows at all (shorter than w) still need a row
+    all_ids = ds.map_batches(
+        lambda b: b[[id_col]], batch_format="pandas"
+    )
+    joined = all_ids.join(
+        sums.map_batches(
+            lambda b: b.assign(n_shared_windows=b["n_shared_windows"].astype("int64")),
+            batch_format="pandas",
+        ).repartition(8),
+        "left_outer",
+        num_partitions=8,
+        on=(id_col,),
+    )
+    return joined.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_shared_windows": b["n_shared_windows"]
+                .fillna(0)
+                .astype("int64")
+                .to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
