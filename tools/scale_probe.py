@@ -188,6 +188,11 @@ def main_text() -> None:
 
     timed("lsh_verify_cluster", clusters)
 
+    from matomo_log_analytics_ray.ops import substr as substr_ops
+
+    timed("repeated_substrings_w40", lambda: substr_ops.repeated_substring_docs(
+        rd(), w=40))
+
     print(json.dumps({"n_docs": TEXT_DOCS, "num_cpus": 32, "results": results}))
     ray.shutdown()
 
