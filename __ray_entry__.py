@@ -651,6 +651,44 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_dedup_embedding_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS: exact tiled cosine pairs at 0.4
+    -> connected components — the vector-space analog of
+    dedup_clusters. Oracle: all-pairs cosine + recursive-CTE
+    min-reach."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster, similarity
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = similarity.embedding_near_dup(ds, threshold=0.4)
+    return cluster.connected_components(ray.data.from_pandas(pairs[["id_a", "id_b"]]))
+
+
+def _q_split_leakage_safe(sf_dir: str):
+    """Leakage-safe train/val/test split: near-duplicate documents are
+    forced into the SAME split by hashing the duplicate-CLUSTER id,
+    not the doc id (the reason near-dup detection runs before
+    splitting in real pipelines). Composition: LSH -> Jaccard verify
+    -> connected components -> assign_clusters -> hash_split on
+    cluster_id."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster, dedup, split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+    pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+    withc = cluster.assign_clusters(docs, pairs)
+    out = split.hash_split(
+        withc, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_fn=split.knuth_bucket,
+    )
+    return out.select_columns(["doc_id", "cluster_id", "split"])
+
+
 def _q_repeated_substrings(sf_dir: str):
     """Exact repeated-substring detection (char-level 40-char windows,
     vectorized Rabin-Karp): per doc, how many of its distinct windows
@@ -1777,6 +1815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+        "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
         "running_user_value": _q_running_user_value,
@@ -1952,6 +1992,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
         ),
+        "dedup_embedding_clusters": oracle.embedding_clusters_sql(threshold=0.4),
+        "split_leakage_safe": oracle.leakage_safe_split_sql(threshold=0.8),
         "repeated_substrings": (
             "WITH wnd AS ("
             "  SELECT doc_id, unnest(list_distinct(list_transform("

@@ -554,6 +554,55 @@ def _jaccard_pairs_ctes(threshold: float = 0.8, k: int = 3) -> str:
 )"""
 
 
+def embedding_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components over the exact cosine near-dup pairs of the
+    ``embeddings`` view (recursive-CTE min-reach)."""
+    return f"""
+WITH RECURSIVE vp AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+), e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+), reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+)
+SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u"""
+
+
+def leakage_safe_split_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Cluster-aware split replay: near-dup components (recursive CTE
+    over exact-Jaccard pairs), cluster_id = component min (self for
+    unpaired docs), then the knuth-bucket split thresholds applied to
+    the CLUSTER id."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(threshold, k)},
+e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+cc AS (SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u),
+assigned AS (
+    SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, cluster_id,
+        ((cluster_id * 2654435761) % 4294967296) % 1000 AS b
+    FROM assigned
+)"""
+
+
 def decontaminate_sql(k: int = 3, bench_source: str = "src3") -> str:
     """Per training doc (source != bench_source): count of its distinct
     k-gram shingles occurring anywhere in the benchmark split, plus the
