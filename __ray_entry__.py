@@ -651,6 +651,23 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings (farthest-point
+    deterministic seeding, per-block E-step partials, driver M-step)
+    -> (vec_id, cluster). Iterative/non-SQL: rows-only driver check;
+    convergence and partition invariance are pytest-gated
+    (test_kmeans)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, _ = kmeans.kmeans_fit(ds, k=8, n_iters=15)
+    return kmeans.kmeans_assign(ds, cent)
+
+
 def _q_dedup_embedding_clusters(sf_dir: str):
     """Embedding near-dup CLUSTERS: exact tiled cosine pairs at 0.4
     -> connected components — the vector-space analog of
@@ -1816,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+        "kmeans_clusters": _q_kmeans_clusters,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
