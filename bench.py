@@ -272,6 +272,8 @@ def main() -> None:
         "q3_shipping_revenue",
         "pivot_daily_events",
         "pack_documents",
+        "repeated_substrings",
+        "split_leakage_safe",
     ):
         t0 = time.monotonic()
         res = q[name](sf_dir)
