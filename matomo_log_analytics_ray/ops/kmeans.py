@@ -13,9 +13,13 @@ Deterministic: init is greedy farthest-point (k-center seeding, the
 deterministic cousin of k-means++) — start from the smallest-id
 vector, then k-1 streaming passes each pick the point farthest from
 the chosen set (per-block argmax partials, driver max; ties break to
-the smaller id). No RNG, so the same corpus gives the same model on
-any cluster shape, and seeds are guaranteed to spread across blobs
-(a smallest-k-ids init can land every seed inside one cluster).
+the smaller id). No RNG, so seeding is identical on any cluster shape
+and seeds are guaranteed to spread across blobs (a smallest-k-ids
+init can land every seed inside one cluster). Determinism caveat: the
+M-step's float64 partial sums fold in block order, so centroids across
+DIFFERENT cluster shapes agree only to last ulps — a knife-edge point
+equidistant to two centroids below that noise could flip assignment
+(tests compare at 6 dp).
 """
 
 from __future__ import annotations
@@ -45,6 +49,8 @@ def kmeans_fit(
         k=1,
         descending=False,
     ).to_pandas()
+    if len(first) == 0:
+        raise ValueError("kmeans_fit: input dataset is empty")
     cent = np.stack(first[vec_col].to_numpy()).astype(np.float64)
 
     # farthest-point seeding: k-1 streaming argmax passes
@@ -138,6 +144,28 @@ def kmeans_fit(
         cent = new_cent
         if shift < tol:
             break
+
+    # one inertia-only pass against the RETURNED centroids: the loop's
+    # inertia was measured against the pre-update model, so returning
+    # it with new_cent would overstate by one M-step (stale-metric bug
+    # caught in review; elbow/k selection needs the consistent pair)
+    ref = ray.put(cent)
+
+    def inertia_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        if len(b) == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype="float64")})
+        mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)
+        )
+        return pd.DataFrame({"i": [float(d2.min(axis=1).sum())]})
+
+    inertia = float(
+        ds.map_batches(inertia_partial, batch_format="pandas").to_pandas()["i"].sum()
+    )
     return cent, inertia
 
 

@@ -75,7 +75,7 @@ def pack_greedy(
     rows = ds.map_batches(project, batch_format="pandas")
     sorted_ds = rows.sort(["shard", id_col])
 
-    def pack_runs(b: pd.DataFrame, interior_only: bool) -> pd.DataFrame:
+    def pack_runs(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         if n == 0:
             return pd.DataFrame(
@@ -97,7 +97,7 @@ def pack_greedy(
         ids = b[id_col].to_numpy()
         for r in range(len(starts)):
             s, e = starts[r], ends[r]
-            boundary = interior_only and (r == 0 or r == last)
+            boundary = r == 0 or r == last
             if boundary:
                 f = pd.DataFrame(
                     {id_col: ids[s:e], "shard": sh[s:e], "pack_idx": sizes[s:e]}
@@ -115,9 +115,7 @@ def pack_greedy(
             out_frames.append(f)
         return pd.concat(out_frames, ignore_index=True)
 
-    tagged = sorted_ds.map_batches(
-        lambda b: pack_runs(b, True), batch_format="pandas"
-    ).materialize()
+    tagged = sorted_ds.map_batches(pack_runs, batch_format="pandas").materialize()
     done = tagged.map_batches(
         lambda b: b[b["kind"] == "done"][[id_col, "shard", "pack_idx"]],
         batch_format="pandas",

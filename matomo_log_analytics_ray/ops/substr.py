@@ -54,8 +54,10 @@ def _window_hashes(texts: pd.Series, w: int) -> tuple[np.ndarray, np.ndarray]:
     # trick (no per-character Python loop): with Binv = B^-1 mod 2^64
     # (B is odd, so invertible), define Q[i] = sum_{j<i} c[j]*Binv^j —
     # a wraparound cumsum — then
-    #   H(s) = (Q[s+w] - Q[s]) * B^s = sum_{j=s}^{s+w-1} c[j]*B^(j-s),
-    # the shift-invariant window fingerprint. Powers come from
+    #   H(s) = (Q[s+w] - Q[s]) * B^s = sum_{j=s}^{s+w-1} c[j]*Binv^(j-s),
+    # a shift-invariant window fingerprint (a polynomial in B^-1 —
+    # equally collision-resistant; only the base differs from the
+    # textbook forward form). Powers come from
     # np.multiply.accumulate (C-speed, wraps mod 2^64 like everything
     # here).
     binv = pow(int(_B), -1, 1 << 64)
@@ -132,21 +134,25 @@ def repeated_substring_docs(
             out = pd.DataFrame({id_col: b[id_col]})
             if len(a) == 0 or len(b) == 0:
                 out["_hit"] = np.zeros(len(b), dtype=np.int64)
-                return out
-            v = b["h"].to_numpy(dtype=np.uint64)
-            pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
-            out["_hit"] = (a[pos] == v).astype(np.int64)
-            return out
+            else:
+                v = b["h"].to_numpy(dtype=np.uint64)
+                pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+                out["_hit"] = (a[pos] == v).astype(np.int64)
+            # only hit rows go on: the final left_outer join fills the
+            # zeros, and shared windows are typically <1% of pairs —
+            # keeping misses would sort the whole pair stream for
+            # nothing (~100x the volume at the 200k-doc probe)
+            return out[out["_hit"] == 1]
 
         hits = pairs.map_batches(count_hits, batch_format="pandas")
     else:
         probe = shared.map_batches(
             lambda b: b.rename(columns={"h": "sh"}), batch_format="pandas"
-        ).repartition(8)
+        )
         from . import default_join_partitions
 
         hits = pairs.join(
-            probe,
+            probe.repartition(default_join_partitions()),
             "left_semi",
             num_partitions=default_join_partitions(),
             on=("h",),
@@ -160,13 +166,29 @@ def repeated_substring_docs(
     # may split; sum via the sorted-run counter machinery
     from .groupagg import sorted_group_sum
 
-    sums = sorted_group_sum(
-        hits.map_batches(lambda b: b[[id_col, "_hit"]], batch_format="pandas"),
-        [id_col],
-        "_hit",
-        alias="n_shared_windows",
-    )
-    # docs with no windows at all (shorter than w) still need a row
+    hits = hits.map_batches(
+        lambda b: b[[id_col, "_hit"]], batch_format="pandas"
+    ).materialize()
+    if hits.count() == 0:
+        # nothing shared anywhere: an all-empty right side would reach
+        # the join as schema-less blocks (the NOTES landmine) — emit
+        # zeros for every doc directly
+        return ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "n_shared_windows": np.zeros(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    sums = sorted_group_sum(hits, [id_col], "_hit", alias="n_shared_windows")
+    # docs with no windows at all (shorter than w) still need a row;
+    # the repartition rebuilds the sums block list (sort/union stages
+    # can emit schema-less empties that poison the join aggregator)
+    from . import default_join_partitions
+
+    np_join = default_join_partitions()
     all_ids = ds.map_batches(
         lambda b: b[[id_col]], batch_format="pandas"
     )
@@ -174,9 +196,9 @@ def repeated_substring_docs(
         sums.map_batches(
             lambda b: b.assign(n_shared_windows=b["n_shared_windows"].astype("int64")),
             batch_format="pandas",
-        ).repartition(8),
+        ).repartition(np_join),
         "left_outer",
-        num_partitions=8,
+        num_partitions=np_join,
         on=(id_col,),
     )
     return joined.map_batches(
