@@ -651,6 +651,32 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_sample_exact_n(sf_dir: str):
+    """Deterministic exact-size global sample: the N docs with the
+    smallest knuth-hash of their id — a reproducible fixed-size eval
+    subset on any cluster shape (per-block partial top-N + tiny merge;
+    no global sort, no RNG)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split, topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["_h"] = split.knuth_bucket(b["doc_id"].to_numpy(), 2**32)
+        return out
+
+    sample = topk.topk(
+        ds.map_batches(hashed, batch_format="pandas"),
+        sort_cols=["_h", "doc_id"],
+        k=100,
+        descending=False,
+    )
+    return sample.map_batches(lambda b: b[["doc_id"]], batch_format="pandas")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings (farthest-point
     deterministic seeding, per-block E-step partials, driver M-step)
@@ -1834,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
+        "sample_exact_n": _q_sample_exact_n,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
@@ -2009,6 +2036,10 @@ def oracle_sql() -> dict[str, str]:
         "rank_user_events": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER ("
             "  PARTITION BY user_id ORDER BY ts, event_id) AS rnk FROM events"
+        ),
+        "sample_exact_n": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
         ),
         "dedup_embedding_clusters": oracle.embedding_clusters_sql(threshold=0.4),
         "split_leakage_safe": oracle.leakage_safe_split_sql(threshold=0.8),
