@@ -133,3 +133,97 @@ def test_mg_candidates_never_lose_a_heavy_hitter(values, cuts, phi):
     threshold = math.ceil(phi * len(s))
     true_heavy = set(s.value_counts()[lambda v: v >= threshold].index)
     assert true_heavy <= candidates | set()
+
+
+# ---------------------------------------------------------------------------
+# connected-components contraction kernel (ops/cluster)
+# ---------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_edges)
+def test_contract_matches_union_find(edges):
+    from matomo_log_analytics_ray.ops import cluster
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    ids, roots = cluster._contract(a, b)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(ids.tolist(), roots.tolist())) == want
+
+
+# ---------------------------------------------------------------------------
+# greedy packing kernel (ops/pack)
+# ---------------------------------------------------------------------------
+
+_sizes = st.lists(st.integers(1, 50), min_size=1, max_size=80)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sizes, st.integers(10, 120))
+def test_greedy_boundaries_match_sequential(sizes, budget):
+    from matomo_log_analytics_ray.ops import pack
+
+    got = pack._greedy_boundaries(np.asarray(sizes, dtype=np.int64), budget)
+    fill, p, want = 0, 0, []
+    for i, s in enumerate(sizes):
+        if i == 0:
+            fill = s
+        elif fill + s <= budget:
+            fill += s
+        else:
+            p += 1
+            fill = s
+        want.append(p)
+    assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash windows (ops/substr): shift invariance + exactness
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts, st.integers(2, 6))
+def test_window_hashes_equal_iff_substrings_equal(texts, w):
+    from matomo_log_analytics_ray.ops import substr
+
+    s = pd.Series(texts)
+    h, offs = substr._window_hashes(s, w)
+    # map every window hash back to its substring; equal substrings
+    # must hash equal (tiny alphabet makes repeats common, exercising
+    # the shift-invariance of the modular-inverse formulation)
+    seen = {}
+    for d in range(len(texts)):
+        t = texts[d] or ""
+        n_w = max(0, len(t) - w + 1)
+        assert offs[d + 1] - offs[d] == n_w
+        for i in range(n_w):
+            sub = t[i : i + w]
+            hv = int(h[offs[d] + i])
+            if sub in seen:
+                assert seen[sub] == hv
+            else:
+                seen[sub] = hv
