@@ -651,6 +651,25 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_kmeans_assign_fixed(sf_dir: str):
+    """The k-means E-step gated exactly: nearest-centroid assignment
+    against FIXED constants (8 scaled one-hot centroids), replayed in
+    SQL with arg_min + list_distance. Separates the SQL-checkable
+    assignment math from the iterative fit (kmeans_clusters,
+    rows-only)."""
+    import numpy as np
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = len(ds.take(1)[0]["embedding"])
+    cent = np.eye(8, dim) * 10.0
+    return kmeans.kmeans_assign(ds, cent)
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Deterministic exact-size global sample: the N docs with the
     smallest knuth-hash of their id — a reproducible fixed-size eval
@@ -1861,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
         "sample_exact_n": _q_sample_exact_n,
+        "kmeans_assign_fixed": _q_kmeans_assign_fixed,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
@@ -2040,6 +2060,17 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": (
             "SELECT doc_id FROM documents "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "kmeans_assign_fixed": (
+            "WITH c AS ("
+            "  SELECT cid, list_transform("
+            "    range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),"
+            "    i -> CASE WHEN i = cid + 1 THEN 10.0 ELSE 0.0 END) AS cv"
+            "  FROM (SELECT unnest(generate_series(0, 7)) AS cid)"
+            ") SELECT e.vec_id, CAST(arg_min(c.cid, list_distance("
+            "  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cv)) AS BIGINT)"
+            "  AS cluster "
+            "FROM embeddings e CROSS JOIN c GROUP BY e.vec_id"
         ),
         "dedup_embedding_clusters": oracle.embedding_clusters_sql(threshold=0.4),
         "split_leakage_safe": oracle.leakage_safe_split_sql(threshold=0.8),
