@@ -651,6 +651,63 @@ def _q_pivot_daily_events(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_ivf_topk_fixed(sf_dir: str):
+    """IVF routing + masked distributed scoring gated EXACTLY: fixed
+    one-hot centroids make the probe/assignment argmaxes and the exact
+    in-list cosine top-k fully SQL-replayable (similarity_ivf_topk
+    keeps the trained-centroid flavor as the rows-only realistic
+    path)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    qids = head["vec_id"].to_numpy()
+    qvecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = qvecs.shape[1]
+    cent = np.eye(8, dim)
+    out = similarity.ivf_topk(
+        ds, qids, qvecs, k=5, nlist=8, nprobe=3, centroids=cent
+    )
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out
+
+
+def _q_lsh_topk_fixed(sf_dir: str):
+    """LSH bucket routing + masked distributed scoring gated EXACTLY:
+    fixed one-hot hyperplanes make the signature (bit j = coord j > 0)
+    and the in-bucket cosine top-k fully SQL-replayable
+    (similarity_lsh_topk keeps the random-plane flavor rows-only)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 2)
+    qids = head["vec_id"].to_numpy()
+    qvecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = qvecs.shape[1]
+    planes = np.eye(dim, 6)  # bit j = coord j > 0
+    out = similarity.lsh_topk(ds, qids, qvecs, k=5, n_bits=6, planes=planes)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    return out
+
+
 def _q_kmeans_assign_fixed(sf_dir: str):
     """The k-means E-step gated exactly: nearest-centroid assignment
     against FIXED constants (8 scaled one-hot centroids), replayed in
@@ -1881,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "sample_exact_n": _q_sample_exact_n,
         "kmeans_assign_fixed": _q_kmeans_assign_fixed,
+        "ivf_topk_fixed": _q_ivf_topk_fixed,
+        "lsh_topk_fixed": _q_lsh_topk_fixed,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
@@ -2060,6 +2119,53 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": (
             "SELECT doc_id FROM documents "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "lsh_topk_fixed": (
+            "WITH e AS ("
+            "  SELECT vec_id, embedding,"
+            "    list_sum(list_transform(range(1, 7),"
+            "      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0"
+            "           THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS sig"
+            "  FROM embeddings"
+            "), q AS ("
+            "  SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM e"
+            "  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)"
+            ") SELECT query_id, vec_id, ROUND(score, 4) AS score FROM ("
+            "  SELECT q.query_id, e.vec_id,"
+            "    list_cosine_similarity(e.embedding, q.qe) AS score,"
+            "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY"
+            "      list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn"
+            "  FROM e JOIN q ON e.sig = q.qsig"
+            ") WHERE rn <= 5"
+        ),
+        "ivf_topk_fixed": (
+            "WITH e AS ("
+            "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,"
+            "    embedding FROM embeddings"
+            "), cds AS (SELECT unnest(generate_series(0, 7)) AS cid), "
+            "q AS (SELECT vec_id AS query_id, v AS qv, embedding AS qe FROM e WHERE vec_id IN ("
+            "  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)), "
+            "probe AS ("
+            "  SELECT query_id, cid FROM ("
+            "    SELECT q.query_id, c.cid, ROW_NUMBER() OVER ("
+            "      PARTITION BY q.query_id ORDER BY q.qv[c.cid + 1] DESC, c.cid) AS rn"
+            "    FROM q CROSS JOIN cds c"
+            "  ) WHERE rn <= 3"
+            "), assign AS ("
+            "  SELECT vec_id, cid FROM ("
+            "    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            "      PARTITION BY e.vec_id ORDER BY e.v[c.cid + 1] DESC, c.cid) AS rn"
+            "    FROM e CROSS JOIN cds c"
+            "  ) WHERE rn = 1"
+            ") SELECT query_id, vec_id, ROUND(score, 4) AS score FROM ("
+            "  SELECT p.query_id, e.vec_id,"
+            "    list_cosine_similarity(e.embedding, q.qe) AS score,"
+            "    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY"
+            "      list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn"
+            "  FROM e JOIN assign a USING (vec_id)"
+            "  JOIN probe p ON p.cid = a.cid"
+            "  JOIN q ON q.query_id = p.query_id"
+            ") WHERE rn <= 5"
         ),
         "kmeans_assign_fixed": (
             "WITH c AS ("

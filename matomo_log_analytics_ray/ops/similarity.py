@@ -131,12 +131,22 @@ def _merge_topk_partials(partials: pd.DataFrame, k: int, id_col: str) -> pd.Data
     return pd.DataFrame(out, columns=["query_id", id_col, "score", "rank"])
 
 
-def signature_bits(vectors: np.ndarray, n_bits: int = 8, dim: int | None = None) -> np.ndarray:
-    """Random-hyperplane LSH signature (deterministic planes)."""
+def signature_bits(
+    vectors: np.ndarray,
+    n_bits: int = 8,
+    dim: int | None = None,
+    planes: np.ndarray | None = None,
+) -> np.ndarray:
+    """Random-hyperplane LSH signature (deterministic planes; pass
+    explicit ``planes`` (d, n_bits) for SQL-replayable fixed-plane
+    gating)."""
     vectors = np.asarray(vectors, dtype=np.float32)
-    planes = np.random.default_rng(0x5EED).standard_normal(
-        (vectors.shape[1] if dim is None else dim, n_bits)
-    ).astype(np.float32)
+    if planes is None:
+        planes = np.random.default_rng(0x5EED).standard_normal(
+            (vectors.shape[1] if dim is None else dim, n_bits)
+        ).astype(np.float32)
+    else:
+        planes = np.asarray(planes, dtype=np.float32)
     bits = (vectors @ planes) > 0
     weights = (1 << np.arange(n_bits)).astype(np.int64)
     return bits @ weights
@@ -160,6 +170,7 @@ class MaskedTopKScorer:
         if self.kind == "lsh":
             self.n_bits = p["n_bits"]
             self.qsig = np.asarray(p["qsig"])
+            self.planes = p.get("planes")
         else:  # ivf
             self.cent = p["cent"]  # (nlist, d) normalized
             self.membership = p["membership"]  # (nlist, nq) bool
@@ -169,7 +180,7 @@ class MaskedTopKScorer:
         ids = batch[self.id_col].to_numpy()
         vecs = _normalize(raw)
         if self.kind == "lsh":
-            sig = signature_bits(raw, self.n_bits)
+            sig = signature_bits(raw, self.n_bits, planes=self.planes)
             allowed = sig[:, None] == self.qsig[None, :]  # (n, nq)
         else:
             lists = np.argmax(vecs @ self.cent.T, axis=1)
@@ -196,6 +207,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | tuple = 2,
+    planes: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Approximate top-k: corpus rows hashed into 2^n_bits buckets; each
     query scores only its own bucket — INSIDE the scan (per-batch
@@ -203,7 +215,7 @@ def lsh_topk(
     driver. Partitioning assumption: bucket skew is bounded because
     hyperplane signs of roughly-isotropic embeddings are near-uniform;
     pathological skew needs more bits."""
-    qsig = signature_bits(np.asarray(query_vectors), n_bits)
+    qsig = signature_bits(np.asarray(query_vectors), n_bits, planes=planes)
     ref = ray.put(
         {
             "kind": "lsh",
@@ -211,6 +223,7 @@ def lsh_topk(
             "qmat": _normalize(np.asarray(query_vectors)),
             "qsig": qsig,
             "n_bits": n_bits,
+            "planes": planes,
         }
     )
     partials = corpus.map_batches(
@@ -258,6 +271,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | tuple = 2,
+    centroids: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """IVF approximate top-k — the classic scale path for ANN:
 
@@ -275,10 +289,15 @@ def ivf_topk(
     Partitioning assumption: inverted lists are roughly balanced; a
     pathologically clustered corpus needs more lists (bigger nlist)
     exactly as in FAISS-style IVF."""
-    train = np.stack(
-        corpus.limit(train_n).to_pandas()[vec_col].to_numpy()
-    )
-    cent = kmeans_centroids(train, nlist=nlist)
+    if centroids is not None:
+        # caller-supplied (e.g. fixed constants for the SQL-exact gate,
+        # or a model trained by ops/kmeans) — must be L2-normalized
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        train = np.stack(
+            corpus.limit(train_n).to_pandas()[vec_col].to_numpy()
+        )
+        cent = kmeans_centroids(train, nlist=nlist)
     qmat = _normalize(np.asarray(query_vectors))
     # (nq, nprobe) probed list ids per query -> (nlist, nq) membership
     probed = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
