@@ -681,6 +681,75 @@ def _q_ivf_topk_fixed(sf_dir: str):
     return out
 
 
+def _q_upsert_events(sf_dir: str):
+    """Keyed upsert (SCD-1 merge): a delta of every 10th event with an
+    updated integer value overrides the base by event_id (broadcast
+    anti-filter fused into the base scan + union; ops/delta.upsert)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import delta
+
+    def base_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "vi": np.floor(b["value"].to_numpy()).astype("int64"),
+            }
+        )
+
+    def delta_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 10 == 0]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "vi": np.floor(b["value"].to_numpy()).astype("int64") + 1000,
+            }
+        )
+
+    src = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    base = src.map_batches(base_rows, batch_format="pandas")
+    dlt = src.map_batches(delta_rows, batch_format="pandas")
+    return delta.upsert(base, dlt, "event_id")
+
+
+def _q_snapshot_diff_events(sf_dir: str):
+    """Change-data capture between two derived snapshots of the events
+    table: (event_id, change in {added, removed, changed}) via one
+    full_outer join (ops/delta.snapshot_diff)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import delta
+
+    src = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def old_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 7 != 0]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "vi": np.floor(b["value"].to_numpy()).astype("int64"),
+            }
+        )
+
+    def new_rows(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_id"] % 5 != 0]
+        bump = (b["event_id"].to_numpy() % 3 == 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "vi": np.floor(b["value"].to_numpy()).astype("int64") + bump,
+            }
+        )
+
+    old = src.map_batches(old_rows, batch_format="pandas")
+    new = src.map_batches(new_rows, batch_format="pandas")
+    return delta.snapshot_diff(old, new, "event_id", ["vi"])
+
+
 def _q_lsh_topk_fixed(sf_dir: str):
     """LSH bucket routing + masked distributed scoring gated EXACTLY:
     fixed one-hot hyperplanes make the signature (bit j = coord j > 0)
@@ -1940,6 +2009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_fixed": _q_kmeans_assign_fixed,
         "ivf_topk_fixed": _q_ivf_topk_fixed,
         "lsh_topk_fixed": _q_lsh_topk_fixed,
+        "upsert_events": _q_upsert_events,
+        "snapshot_diff_events": _q_snapshot_diff_events,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
         "rolling_user_value": _q_rolling_user_value,
@@ -2119,6 +2190,23 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": (
             "SELECT doc_id FROM documents "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "upsert_events": (
+            "SELECT event_id, CAST(FLOOR(value) AS BIGINT) + "
+            "CASE WHEN event_id % 10 = 0 THEN 1000 ELSE 0 END AS vi FROM events"
+        ),
+        "snapshot_diff_events": (
+            "WITH o AS (SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS vi"
+            "  FROM events WHERE event_id % 7 <> 0), "
+            "n AS (SELECT event_id, CAST(FLOOR(value) AS BIGINT)"
+            "  + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS vi"
+            "  FROM events WHERE event_id % 5 <> 0) "
+            "SELECT COALESCE(n.event_id, o.event_id) AS event_id, "
+            "CASE WHEN o.event_id IS NULL THEN 'added' "
+            "     WHEN n.event_id IS NULL THEN 'removed' "
+            "     ELSE 'changed' END AS change "
+            "FROM o FULL OUTER JOIN n USING (event_id) "
+            "WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.vi <> n.vi"
         ),
         "lsh_topk_fixed": (
             "WITH e AS ("
