@@ -236,14 +236,18 @@ def tfidf_top_terms(
     rounded to 6 dp BEFORE ranking so the ordering is replayable in
     SQL.
 
-    Two passes. Pass 1 builds the document-frequency table with the
-    sorted-run machinery (only distinct (doc, word) pairs leave each
-    worker; high-cardinality safe). Pass 2 is adaptive like
-    pipelines/prepare: a vocab that fits driver memory broadcasts as a
-    plain dict and scoring+top-k fuses into one stateless map over the
-    corpus (docs are whole within a batch, so per-doc top-k needs no
-    shuffle); a larger vocab falls back to a hash join of (doc, word,
-    tf) rows against the DF table plus ops/topk.grouped_topk.
+    Two passes, both keyed on uint64 WORD HASHES so sorts/shuffles move
+    8-byte ints, not strings (word strings are recovered in-batch and
+    only ride along on the tiny final rows; a cross-word hash collision
+    needs ~2^64 odds — the minhash-family contract). Pass 1 builds the
+    document-frequency table with the sorted-run machinery (only
+    distinct (doc, hash) pairs leave each worker). Pass 2 is adaptive
+    like pipelines/prepare: a vocab that fits driver memory broadcasts
+    as a plain dict and scoring+top-k fuses into one stateless map over
+    the corpus (docs are whole within a batch, so per-doc top-k needs
+    no shuffle); a larger vocab falls back to a hash join of (doc,
+    hash, word, tf) rows against the DF table plus
+    ops/topk.grouped_topk.
     """
     import ray.data  # noqa: F401
 
@@ -252,37 +256,45 @@ def tfidf_top_terms(
 
     n_docs = ds.count()
 
-    def df_pairs(b: pd.DataFrame) -> pd.DataFrame:
+    def _doc_term_runs(b: pd.DataFrame):
+        """(doc_idx, word_hash) runs of a batch: per distinct (doc,
+        term) one entry — (docs, hashes, words, tf) arrays — via one
+        lexsort, no string groupby."""
         flat, counts = explode_words(b[text_col])
-        doc = np.repeat(b[id_col].to_numpy(), counts)
-        out = pd.DataFrame({"word": flat, "_doc": doc}).drop_duplicates()
-        return out[["word"]]
+        if len(flat) == 0:
+            e64 = np.empty(0, dtype=np.uint64)
+            ei = np.empty(0, dtype=np.int64)
+            return ei, e64, flat, ei
+        h = hashing.hash_strings(pd.Series(flat))
+        doc = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        order = np.lexsort((h, doc))
+        d_, h_ = doc[order], h[order]
+        first = np.ones(len(h_), dtype=bool)
+        first[1:] = (h_[1:] != h_[:-1]) | (d_[1:] != d_[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(h_))).astype(np.int64)
+        return d_[starts], h_[starts], flat[order[starts]], tf
+
+    def df_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        _, hashes, _, _ = _doc_term_runs(b)
+        return pd.DataFrame({"h": hashes})
 
     df_rows = _dedup.sorted_group_counts(
-        ds.map_batches(df_pairs, batch_format="pandas"), ["word"], alias="df"
+        ds.map_batches(df_pairs, batch_format="pandas"), ["h"], alias="df"
     ).map_batches(
         lambda b: b.assign(df=b["df"].astype("int64")), batch_format="pandas"
     ).materialize()
 
-    def tf_frame(b: pd.DataFrame) -> pd.DataFrame:
-        flat, counts = explode_words(b[text_col])
-        doc = np.repeat(b[id_col].to_numpy(), counts)
-        tf = (
-            pd.DataFrame({id_col: doc, "word": flat})
-            .groupby([id_col, "word"], as_index=False, sort=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
-        tf["tf"] = tf["tf"].astype("int64")
-        return tf
-
     if df_rows.count() <= broadcast_limit:
-        df_map = dict(zip(*(lambda d: (d["word"], d["df"]))(df_rows.to_pandas())))
+        dfp = df_rows.to_pandas()
+        df_map = dict(
+            zip(dfp["h"].to_numpy(dtype=np.uint64).tolist(), dfp["df"].tolist())
+        )
         ref = ray.put(df_map)
 
         def score_topk(b: pd.DataFrame) -> pd.DataFrame:
-            tf = tf_frame(b)
-            if len(tf) == 0:
+            docs, hashes, words, tf = _doc_term_runs(b)
+            if len(hashes) == 0:
                 return pd.DataFrame(
                     {
                         id_col: b[id_col].iloc[:0],
@@ -291,32 +303,53 @@ def tfidf_top_terms(
                     }
                 )
             dfm = ray.get(ref)
-            dfv = tf["word"].map(dfm).to_numpy(dtype=np.float64)
-            tf["tfidf"] = np.round(
-                tf["tf"].to_numpy() * np.log(np.float64(n_docs) / dfv), 6
+            dfv = np.asarray([dfm[int(x)] for x in hashes], dtype=np.float64)
+            out = pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy()[docs],
+                    "word": words,
+                    "tfidf": np.round(tf * np.log(np.float64(n_docs) / dfv), 6),
+                }
             )
-            tf = tf.sort_values(
+            out = out.sort_values(
                 [id_col, "tfidf", "word"], ascending=[True, False, True]
             )
-            pos = tf.groupby(id_col, sort=False).cumcount()
-            return tf[pos < k][[id_col, "word", "tfidf"]]
+            pos = out.groupby(id_col, sort=False).cumcount()
+            return out[pos < k]
 
         return ds.map_batches(score_topk, batch_format="pandas")
 
-    # join path: (doc, word, tf) rows against the DF table, then the
-    # distributed ROW_NUMBER shape
+    # join path: (doc, hash, word, tf) rows against the DF table, then
+    # the distributed ROW_NUMBER shape
     from . import default_join_partitions
 
     num_partitions = default_join_partitions()
+
+    def tf_frame(b: pd.DataFrame) -> pd.DataFrame:
+        docs, hashes, words, tf = _doc_term_runs(b)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[docs]
+                if len(hashes)
+                else b[id_col].iloc[:0],
+                "h": hashes,
+                "word": words,
+                "tf": tf,
+            }
+        )
+
     tf_rows = (
         ds.map_batches(tf_frame, batch_format="pandas")
         .repartition(num_partitions)  # drop schema-less empties pre-join
     )
     joined = tf_rows.join(
-        df_rows,
+        df_rows.map_batches(
+            lambda b: b.rename(columns={"h": "dh"}), batch_format="pandas"
+        ).repartition(num_partitions),
         "inner",
         num_partitions=num_partitions,
-        on=("word",),
+        on=("h",),
+        right_on=("dh",),
     )
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
