@@ -681,6 +681,33 @@ def _q_ivf_topk_fixed(sf_dir: str):
     return out
 
 
+def _q_window_p90_value(sf_dir: str):
+    """Windowed quantiles: exact per-day P90 of value (tumbling-window
+    bucket projection composed with ops/quantiles histogram-refinement
+    selection — no sort, no per-day data collection)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"),
+                "value": b["value"].to_numpy(),
+            }
+        )
+
+    out = quantiles.grouped_quantiles(
+        ds.map_batches(bucket, batch_format="pandas"), "day", "value", qs=(0.9,)
+    )
+    out = out[["day", "value"]].copy()
+    out["value"] = out["value"].round(6)
+    return out
+
+
 def _q_upsert_events(sf_dir: str):
     """Keyed upsert (SCD-1 merge): a delta of every 10th event with an
     updated integer value overrides the base by event_id (broadcast
@@ -2010,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_fixed": _q_ivf_topk_fixed,
         "lsh_topk_fixed": _q_lsh_topk_fixed,
         "upsert_events": _q_upsert_events,
+        "window_p90_value": _q_window_p90_value,
         "snapshot_diff_events": _q_snapshot_diff_events,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
@@ -2190,6 +2218,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": (
             "SELECT doc_id FROM documents "
             "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "window_p90_value": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "ROUND(quantile_disc(value, 0.9), 6) AS value "
+            "FROM events GROUP BY day"
         ),
         "upsert_events": (
             "SELECT event_id, CAST(FLOOR(value) AS BIGINT) + "
