@@ -577,6 +577,21 @@ def _q_text_repetition(sf_dir: str):
 
 # domain-mixture rates for the gated sampling query (knuth_bucket over
 # 10000 buckets is replayed verbatim in the SQL oracle)
+_LM_SCORES_SQL = (
+    "WITH w AS (SELECT doc_id, unnest(regexp_extract_all("
+    "  lower(coalesce(text, '')), '[a-z0-9]+')) AS w FROM documents), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w), "
+    "vocab AS (SELECT w, count(*) AS c FROM w GROUP BY w "
+    "  ORDER BY c DESC, w LIMIT 1000), "
+    "lp AS (SELECT w, ln(c / (SELECT n FROM tot)) AS logp FROM vocab), "
+    "scored AS (SELECT w.doc_id, "
+    "  avg(coalesce(lp.logp, ln(1.0 / (SELECT n FROM tot)))) AS s "
+    "  FROM w LEFT JOIN lp ON w.w = lp.w GROUP BY w.doc_id) "
+    "SELECT d.doc_id, ROUND(coalesce(s, ln(1.0 / (SELECT n FROM tot))), 6) "
+    "AS lm_score FROM documents d LEFT JOIN scored USING (doc_id)"
+)
+
+
 DOMAIN_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 DOMAIN_MIX_DEFAULT = 0.8
 
@@ -679,6 +694,31 @@ def _q_ivf_topk_fixed(sf_dir: str):
     out = out[["query_id", "vec_id", "score"]].copy()
     out["score"] = out["score"].round(4)
     return out
+
+
+def _q_lm_quality_filter(sf_dir: str):
+    """Perplexity-bucket filtering: keep docs scoring at or above the
+    corpus MEDIAN unigram-LM log-prob (the KenLM-filter selection step
+    composed from lm scoring + exact quantiles + broadcast filter)."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import lmscore, quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scores = lmscore.unigram_logprob_scores(docs).materialize()
+    qs = quantiles.grouped_quantiles(
+        scores.map_batches(
+            lambda b: b.assign(_g=0), batch_format="pandas"
+        ),
+        "_g",
+        "lm_score",
+        qs=(0.5,),
+    )
+    thr = float(qs["value"].iloc[0])
+    return scores.map_batches(
+        lambda b: b[b["lm_score"] >= thr][["doc_id"]], batch_format="pandas"
+    )
 
 
 def _q_window_p90_value(sf_dir: str):
@@ -2038,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_topk_fixed": _q_lsh_topk_fixed,
         "upsert_events": _q_upsert_events,
         "window_p90_value": _q_window_p90_value,
+        "lm_quality_filter": _q_lm_quality_filter,
         "snapshot_diff_events": _q_snapshot_diff_events,
         "split_leakage_safe": _q_split_leakage_safe,
         "lag_user_events": _q_lag_user_events,
@@ -2401,18 +2442,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN s USING (event_type) "
             "WHERE abs((e.value - sv / n) / sqrt(svv / n - (sv / n) * (sv / n))) >= 1.5"
         ),
-        "lm_doc_scores": (
-            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all("
-            "  lower(coalesce(text, '')), '[a-z0-9]+')) AS w FROM documents), "
-            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w), "
-            "vocab AS (SELECT w, count(*) AS c FROM w GROUP BY w "
-            "  ORDER BY c DESC, w LIMIT 1000), "
-            "lp AS (SELECT w, ln(c / (SELECT n FROM tot)) AS logp FROM vocab), "
-            "scored AS (SELECT w.doc_id, "
-            "  avg(coalesce(lp.logp, ln(1.0 / (SELECT n FROM tot)))) AS s "
-            "  FROM w LEFT JOIN lp ON w.w = lp.w GROUP BY w.doc_id) "
-            "SELECT d.doc_id, ROUND(coalesce(s, ln(1.0 / (SELECT n FROM tot))), 6) "
-            "AS lm_score FROM documents d LEFT JOIN scored USING (doc_id)"
+        "lm_doc_scores": _LM_SCORES_SQL,
+        "lm_quality_filter": (
+            f"SELECT doc_id FROM ({_LM_SCORES_SQL}) f "
+            f"WHERE f.lm_score >= ("
+            f"  SELECT quantile_disc(lm_score, 0.5) FROM ({_LM_SCORES_SQL}) g)"
         ),
         "heavy_hitter_users": (
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
