@@ -287,8 +287,14 @@ def tfidf_top_terms(
 
     if df_rows.count() <= broadcast_limit:
         dfp = df_rows.to_pandas()
-        df_map = dict(
-            zip(dfp["h"].to_numpy(dtype=np.uint64).tolist(), dfp["df"].tolist())
+        # empty corpus: to_pandas of an all-empty Dataset drops the
+        # schema (NOTES landmine) — the map is simply empty
+        df_map = (
+            {}
+            if len(dfp) == 0
+            else dict(
+                zip(dfp["h"].to_numpy(dtype=np.uint64).tolist(), dfp["df"].tolist())
+            )
         )
         ref = ray.put(df_map)
 

@@ -108,3 +108,51 @@ def test_sessionize_empty_and_single():
     s = _one_event()[["user_id", "ts"]]
     out = sessionize.sessionize(ray.data.from_pandas(s)).to_pandas()
     assert out["n_events"].tolist() == [1] and out["session_idx"].tolist() == [0]
+
+
+def test_window_rank_ops_empty_and_single():
+    from matomo_log_analytics_ray.ops import rank, window
+
+    for df in (_empty_events(), _one_event()):
+        v = df.assign(value=np.ones(len(df)))
+        ds = ray.data.from_pandas(v)
+        got = rank.grouped_rank(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
+        assert len(got) == len(df)
+        if len(df):
+            assert got["rnk"].tolist() == [1]
+        got = rank.grouped_cumsum(
+            ds, ["user_id"], ["ts", "event_id"], "value"
+        ).to_pandas()
+        assert len(got) == len(df)
+        got = window.grouped_lag(ds, ["user_id"], ["ts", "event_id"], "value").to_pandas()
+        assert len(got) == len(df)
+        if len(df):
+            assert pd.isna(got["lag_val"].iloc[0])
+        got = window.grouped_rolling_mean(
+            ds, ["user_id"], ["ts", "event_id"], "value", window=3
+        ).to_pandas()
+        assert len(got) == len(df)
+
+
+def test_pack_substr_tfidf_empty_and_single():
+    from matomo_log_analytics_ray.ops import pack, substr, textstats
+
+    empty_docs = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "text": pd.Series([], dtype=object)}
+    )
+    one_doc = pd.DataFrame({"doc_id": np.array([3], dtype=np.int64),
+                            "text": ["one little document"]})
+    for df in (empty_docs, one_doc):
+        ds = ray.data.from_pandas(df)
+        got = pack.pack_greedy(
+            ds.map_batches(lambda b: b.assign(n_chars=b["text"].str.len().fillna(0).astype("int64")),
+                           batch_format="pandas"),
+            budget=100, shard_size=8,
+        ).to_pandas()
+        assert len(got) == len(df)
+        got = substr.repeated_substring_docs(ds, w=10).to_pandas()
+        assert len(got) == len(df)
+        if len(df):
+            assert got["n_shared_windows"].tolist() == [0]
+        got = textstats.tfidf_top_terms(ds, k=3).to_pandas()
+        assert len(got) == (0 if len(df) == 0 else 3)
