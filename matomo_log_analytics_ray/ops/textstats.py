@@ -25,6 +25,10 @@ STOPWORDS = {
 # digits, or single non-space symbols (RE2-safe, shared with tests)
 RE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# union of all language stopwords, built once at import (quality_batch
+# runs in the prepare pipeline's hot filter stage)
+ALL_STOPWORDS = frozenset().union(*STOPWORDS.values())
+
 
 def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace word count + BPE-ish subtoken count per doc."""
@@ -44,8 +48,17 @@ def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_words = t.str.split().str.len().fillna(0).astype("int64")
     n_punct = t.str.count(r"[^\w\s]").astype("int64")
     words = t.str.lower().str.findall(r"[a-z]+")
-    all_stop = STOPWORDS["en"] | STOPWORDS["es"] | STOPWORDS["pt"]
-    n_stop = words.map(lambda ws: sum(w in all_stop for w in ws)).astype("int64")
+    # vectorized stopword count: one exploded word Series, isin against
+    # the union set, bincount on the row index (same pattern as
+    # langid_batch below — no per-row/per-word Python loop)
+    exploded = words.reset_index(drop=True).explode().dropna()
+    row_idx = exploded.index.to_numpy(dtype=np.int64)
+    hit = exploded.isin(ALL_STOPWORDS).to_numpy(dtype=bool)
+    n_stop = pd.Series(
+        np.bincount(row_idx[hit], minlength=len(batch)),
+        index=batch.index,
+        dtype="int64",
+    )
 
     out = batch.copy()
     out["n_chars"] = n_chars

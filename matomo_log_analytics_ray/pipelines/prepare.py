@@ -119,20 +119,49 @@ def prepare_training_data(
         bucket_fn=split_ops.knuth_bucket,
     )
 
-    if out_dir is not None:
-        enriched.write_parquet(out_dir, partition_cols=["split"])
-        # the write consumed the graph; counters below re-execute the
-        # lazy chain — acceptable for the demo path, but callers that
-        # need both at scale should fold counters into the write task
-        # (the flagship single-pass pattern, pipelines/flagship.py)
-
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("split", as_index=False).agg(
             n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
         )
         return g
 
-    out = enriched.map_batches(partial, batch_format="pandas").to_pandas()
+    if out_dir is not None:
+        # single-pass write + counters: ONE consumption of the lazy
+        # graph writes out_dir/split=<k>/part-*.parquet AND streams the
+        # per-batch (split, n_docs, total_tokens) partials to the
+        # driver (the flagship pattern, stages/route.py
+        # write_routed_with_counts) — at 100 TB running the write and
+        # the counter pass as two consumptions would double the
+        # read->dedup-join->filter cost.
+        import hashlib
+        import os
+        import shutil
+
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)  # overwrite semantics, like write_parquet
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_and_count(b: pd.DataFrame) -> pd.DataFrame:
+            # content-derived filename over the batch's full doc_id
+            # column: retried tasks re-derive the same name and
+            # overwrite their own file (idempotent under Ray Data's
+            # deterministic block lineage, never append-duplicate)
+            for s, sub in b.groupby("split"):
+                part = hashlib.sha1(
+                    sub["doc_id"].to_numpy(dtype=np.int64).tobytes()
+                ).hexdigest()[:16]
+                d = os.path.join(out_dir, f"split={s}")
+                os.makedirs(d, exist_ok=True)
+                sub.drop(columns=["split"]).to_parquet(
+                    os.path.join(d, f"part-{part}.parquet"), index=False
+                )
+            return partial(b)
+
+        out = enriched.map_batches(
+            write_and_count, batch_format="pandas"
+        ).to_pandas()
+    else:
+        out = enriched.map_batches(partial, batch_format="pandas").to_pandas()
     if len(out) == 0:  # every row filtered: to_pandas drops the schema
         return pd.DataFrame(
             {"split": pd.Series([], dtype=object),
