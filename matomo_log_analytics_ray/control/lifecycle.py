@@ -98,11 +98,13 @@ def compact_partitions(
     is one row-group, not the partition).
 
     Crash-safe commit protocol (rerun always converges, never loses or
-    duplicates rows): outputs are written to a fresh GENERATION
-    (``compact-g<N>-*``), a manifest listing the consumed sources and
-    the final output names is fsync-renamed into place BEFORE any
-    rename, then tmps are renamed and sources deleted, then the
-    manifest is removed. A rerun first REPLAYS any manifest it finds
+    duplicates rows, safe against power loss as well as process
+    crashes): every output tmp is fsync'd, then a manifest listing the
+    consumed sources and the final output names is fsync-renamed into
+    place (file + parent directory fsync) BEFORE any rename — so the
+    manifest can never become durable while the outputs it points at
+    are not — then tmps are renamed and sources deleted (directory
+    fsync'd again), then the manifest is removed. A rerun first REPLAYS any manifest it finds
     (finish pending renames, delete listed sources) — so a crash at
     any point leaves a state the next run completes rather than
     re-reads. Previously-compacted files are ordinary inputs to the
@@ -124,6 +126,13 @@ def compact_partitions(
         import re as _re
 
         import pyarrow.parquet as pq
+
+        def fsync_path(path: str) -> None:
+            fd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
 
         manifest_path = os.path.join(pdir, "_compact_manifest.json")
         if os.path.exists(manifest_path):
@@ -181,16 +190,27 @@ def compact_partitions(
                 writer.write_batch(batch)
                 rows_in_file += batch.num_rows
         writer.close()
+        # durability barrier: every output tmp must be on disk BEFORE
+        # the manifest can become durable, else a power loss could
+        # leave a durable manifest pointing at truncated outputs that
+        # the replay path would rename into place while deleting the
+        # sources (data loss)
+        for name in out_names:
+            fsync_path(os.path.join(pdir, name + ".tmp"))
         # commit point: manifest in place => outputs are authoritative
         tmp_manifest = manifest_path + ".tmp"
         with open(tmp_manifest, "w") as f:
             _json.dump({"sources": names, "outputs": out_names}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp_manifest, manifest_path)
+        fsync_path(pdir)  # make the manifest rename itself durable
         for name in out_names:
             fp = os.path.join(pdir, name)
             os.rename(fp + ".tmp", fp)
         for f in old:
             os.unlink(f)
+        fsync_path(pdir)  # renames + deletes durable before dropping the manifest
         os.unlink(manifest_path)
         return os.path.basename(pdir), len(old), len(out_names)
 

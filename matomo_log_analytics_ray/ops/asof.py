@@ -84,6 +84,15 @@ def asof_join(
     right_vals = right_vals or []
     tie = tie_col or right_id
 
+    # Left-side filler for each right_vals column must be a zero OF THE
+    # RIGHT SIDE'S OWN DTYPE, else the union of the two tagged branches
+    # produces schema-mismatched blocks (e.g. float 0.0 next to int64).
+    rsch = right.schema()
+    val_dtypes = {
+        c: np.dtype(rsch.types[rsch.names.index(c)].to_pandas_dtype())
+        for c in right_vals
+    }
+
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
@@ -96,7 +105,11 @@ def asof_join(
             }
         )
         for c in right_vals:
-            out[c] = 0.0
+            dt = val_dtypes[c]
+            if dt.kind in "biufmM":  # numeric / timedelta / datetime
+                out[c] = np.zeros(len(b), dtype=dt)
+            else:
+                out[c] = pd.Series([None] * len(b), dtype=object)
         return out
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
@@ -118,7 +131,7 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pandas")
     )
     return _resolve_tagged(
-        tagged, key_col, ts_col, left_id, right_id, right_vals
+        tagged, key_col, ts_col, left_id, right_id, right_vals, val_dtypes
     )
 
 
@@ -165,6 +178,12 @@ def asof_join_self(
     return _resolve_tagged(tagged, key_col, ts_col, left_id, right_id, [])
 
 
+def _zeros_of(dt: np.dtype, n: int):
+    if dt.kind in "biufmM":
+        return np.zeros(n, dtype=dt)
+    return pd.Series([None] * n, dtype=object)
+
+
 def _resolve_tagged(
     tagged: "ray.data.Dataset",
     key_col: str,
@@ -172,7 +191,9 @@ def _resolve_tagged(
     left_id: str,
     right_id: str,
     right_vals: list[str],
+    val_dtypes: dict[str, np.dtype] | None = None,
 ) -> "ray.data.Dataset":
+    val_dtypes = val_dtypes or {c: np.dtype("float64") for c in right_vals}
     out_cols = [left_id, "asof_ts", right_id, *right_vals]
     sorted_ds = tagged.sort([key_col, ts_col, "_side", "_tie"])
 
@@ -182,7 +203,7 @@ def _resolve_tagged(
             left_id: pd.Series([], dtype="int64"),
             "asof_ts": pd.Series([], dtype=b[ts_col].dtype if n else "datetime64[us]"),
             right_id: pd.Series([], dtype="int64"),
-            **{c: pd.Series([], dtype="float64") for c in right_vals},
+            **{c: pd.Series([], dtype=val_dtypes[c]) for c in right_vals},
             "kind": pd.Series([], dtype=object),
             key_col: pd.Series([], dtype=b[key_col].dtype if n else "int64"),
             "_tie": pd.Series([], dtype="int64"),
@@ -216,7 +237,8 @@ def _resolve_tagged(
                         left_id: b[left_id].to_numpy()[head],
                         "asof_ts": b[ts_col].to_numpy()[head],
                         right_id: np.int64(0),
-                        **{c: 0.0 for c in right_vals},
+                        **{c: _zeros_of(val_dtypes[c], int(head.sum()))
+                           for c in right_vals},
                         "kind": "head",
                         key_col: b[key_col].to_numpy()[head],
                         "_tie": np.int64(0),

@@ -2,7 +2,8 @@
 
 The classic shuffle-volume cutter for large-large joins: build a Bloom
 filter of the build side's join keys (per-block bit-array partials,
-OR-merged on the driver — the filter is O(bits), not O(keys)),
+tree-merged in workers so the driver receives O(1) arrays — the
+filter is O(bits), not O(keys)),
 broadcast it once via ``ray.put``, and drop probe-side rows whose key
 cannot be in the build side BEFORE they enter the join shuffle. False
 positives only (tunable via bits-per-key), never false negatives — so
@@ -60,7 +61,24 @@ def build_bloom(
         np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = keys_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def or_rows(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for blob in b["bits"]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # Worker-side tree merge: one m/8-byte partial per BLOCK would ship
+    # blocks x m/8 bytes to the driver (a 2 GB filter x hundreds of
+    # blocks overwhelms it). Fold the partials to <= _MERGE_FAN_IN rows
+    # in workers first (repartition + OR-per-block), so the driver
+    # receives O(1) arrays regardless of input block count.
+    _MERGE_FAN_IN = 8
+    parts = (
+        keys_ds.map_batches(partial, batch_format="pandas")
+        .repartition(_MERGE_FAN_IN)
+        .map_batches(or_rows, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
     merged = np.zeros(n_bytes, dtype=np.uint8)
     for blob in parts["bits"]:
         merged |= np.frombuffer(blob, dtype=np.uint8)

@@ -83,15 +83,24 @@ def snapshot_diff(
     if num_partitions is None:
         num_partitions = default_join_partitions()
 
+    # Capture the key's dtype up front so classify can restore it after
+    # the join (null-padding a full_outer side upcasts ints to float).
+    sch = new.schema()
+    key_np_dtype = sch.types[sch.names.index(key_col)].to_pandas_dtype()
+
     # Ray's full_outer join coalesces both key columns into the LEFT
     # key and drops the right one, so presence must be tracked with
-    # explicit marker columns, not key nullness.
+    # explicit marker columns, not key nullness — and the key itself is
+    # carried redundantly as a VALUE column on each side (`o_kv` /
+    # `n_kv`) and coalesced explicitly in classify, so we never depend
+    # on which column a Ray version coalesces the join key into.
     def side(ds, tag):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             out = b[[key_col, *compare_cols]].copy()
             out = out.rename(
                 columns={key_col: f"{tag}_k", **{c: f"{tag}_{c}" for c in compare_cols}}
             )
+            out[f"{tag}_kv"] = b[key_col].to_numpy()
             out[f"{tag}_present"] = np.int8(1)
             return out
 
@@ -118,12 +127,13 @@ def snapshot_diff(
                 n = b[f"n_{c}"]
                 same &= (o == n) | (o.isna() & n.isna())
             changed &= ~same
-        out = pd.DataFrame({key_col: b["o_k"], "change": None})
+        key = b["o_kv"].where(in_old, b["n_kv"])  # explicit coalesce
+        out = pd.DataFrame({key_col: key, "change": None})
         out.loc[added, "change"] = "added"
         out.loc[removed, "change"] = "removed"
         out.loc[changed, "change"] = "changed"
         out = out[out["change"].notna()]
-        out[key_col] = out[key_col].astype("int64")
+        out[key_col] = out[key_col].astype(key_np_dtype)
         return out
 
     return joined.map_batches(classify, batch_format="pandas")

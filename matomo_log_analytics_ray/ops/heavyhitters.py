@@ -18,8 +18,9 @@ shuffling the data:
 
 Both passes are streaming map_batches with O(1/phi) rows per block;
 driver state is O(1/phi). The output is therefore byte-identical to
-``GROUP BY v HAVING COUNT(*) >= phi * n`` — sketch speed, exact
-answer. (HLL's cousin for frequency; see ops/distinct.py.)
+``GROUP BY v HAVING COUNT(*) >= phi * n`` where n counts NON-NULL
+rows of the column (nulls are not a countable value on either side) —
+sketch speed, exact answer. (HLL's cousin for frequency; see ops/distinct.py.)
 """
 
 from __future__ import annotations
@@ -63,11 +64,14 @@ def heavy_hitters(
         out = pd.DataFrame(
             {col: vc.index, "n": vc.to_numpy(), "kind": "c"}
         )
-        # ride the block's row count along for the global n (placeholder
-        # key keeps the column dtype intact; kind='t' rows are excluded
-        # from the counter merge)
+        # ride the block's NON-NULL row count along for the global n
+        # (value_counts and the verify isin both drop nulls, so the
+        # threshold base must too — else nulls inflate ceil(phi*n) and
+        # wrongly exclude borderline values). Placeholder key keeps the
+        # column dtype intact; kind='t' rows are excluded from the
+        # counter merge.
         total_row = pd.DataFrame(
-            {col: [b[col].iloc[0]], "n": [len(b)], "kind": ["t"]}
+            {col: [b[col].iloc[0]], "n": [int(b[col].notna().sum())], "kind": ["t"]}
         )
         return pd.concat([out, total_row], ignore_index=True)
 

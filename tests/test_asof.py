@@ -205,3 +205,23 @@ def test_asof_join_self_equals_two_sided():
         right_mask=lambda b: b["kind"] == "R",
     ).to_pandas()
     pd.testing.assert_frame_equal(_canon(one), _canon(two), check_dtype=False)
+
+
+def test_asof_integer_right_vals_schema_consistent():
+    # ADVICE r2: left-branch fillers must take the right side's dtype —
+    # int64 right_vals used to get float 0.0 fillers and union
+    # schema-mismatched blocks
+    left, right = _make_sides()
+    rr = right.rename(columns={"event_id": "asof_event_id"})
+    rr["qty"] = np.arange(len(rr), dtype=np.int64)
+    got = asof.asof_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(rr).repartition(4),
+        key_col="user_id", ts_col="ts",
+        left_id="event_id", right_id="asof_event_id",
+        right_vals=["qty"],
+    ).to_pandas()
+    assert got["qty"].dtype.kind == "i"
+    # values must be the matched right row's qty
+    m = rr.set_index("asof_event_id")["qty"]
+    assert (got["qty"].to_numpy() == m.loc[got["asof_event_id"]].to_numpy()).all()

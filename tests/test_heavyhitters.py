@@ -61,3 +61,18 @@ def test_boundary_value_not_lost():
     got = _got(df, "v", phi, 5)
     assert 7 in got["v"].tolist()
     assert got.set_index("v").loc[7, "n"] == thr
+
+
+def test_nulls_not_counted_in_threshold_base():
+    # ADVICE r2: nulls must not inflate n — with 1000 nulls over 1000
+    # real rows, a value at exactly ceil(phi * non_null) must qualify
+    phi = 0.1
+    vals = np.concatenate([np.full(100, 7.0), np.full(450, 1.0), np.full(450, 2.0)])
+    rng = np.random.default_rng(44)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": np.concatenate([vals, np.full(1000, np.nan)])})
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    got = _got(df, "v", phi, 5)
+    # threshold base is 1000 non-null rows -> thr=100 -> 7.0 qualifies;
+    # with nulls counted the base would be 2000 -> thr=200 -> lost
+    assert 7.0 in got["v"].tolist()
