@@ -6,47 +6,44 @@ The missing last step of a dedup pipeline — candidate/verified PAIRS
 transitive closure (pair chains a-b, b-c mean a,c are the same
 cluster), one canonical document per cluster, and a filtered corpus.
 
-Algorithm: iterated SORT + per-block star contraction with
-hash-to-min delivery — the house sort-and-run pattern applied to the
-MapReduce connected-components problem (local contraction +
-hash-to-min emission, cf. Rastogi et al. and the
-large-star/small-star family):
+Algorithm: alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et
+al., "Connected Components in MapReduce and Beyond"), each expressed
+as the house sort-and-run pattern — one range sort by ``node`` + one
+fully vectorized per-block kernel:
 
-* state is a Dataset of (node, lab) rows, read as undirected edges of
-  a graph whose components are invariant across rounds;
-* each round sorts by ``node`` (co-locating every row of a vertex) and
-  each block runs a fully VECTORIZED in-block min-label contraction
-  (numpy minimum-relaxation + pointer-jump loop, no Python pointer
-  chasing), collapsing the entire in-block subgraph to its min id in
-  one pass;
-* each block emits one star row ``(x, root)`` per distinct id AND the
-  reverse ``(root, x)`` — the hash-to-min subscription: the root's
-  node-run carries its membership, so when the root itself later
-  re-roots, the new root is re-delivered keyed AT every member (a
-  stale pointer can never observe its target's re-rooting through
-  sort co-location alone);
-* block boundaries need no fat edge handling: a vertex split across
-  two blocks gets a contracted row from each, co-located by the next
-  sort. To kill the pathological recurring split, each block forwards
-  its two boundary rows (first/last vertex, already contracted, <= 2
-  rows per block) through a repartition(1) micro-merge that contracts
-  them globally and re-injects the result;
-* convergence: the round operator is deterministic and its fixpoint
-  state reproduces itself exactly, so the stop rule is multiset
-  stability of the state rows between consecutive rounds, checked by
-  a tiny per-block (count, uint64 hash-sum) signature. At a fixpoint,
-  along any chain of state rows adjacent rows share an id whose label
-  must agree, so each component carries exactly one label — its min
-  id (labels are component member ids and never increase). Rounds ~
-  log of component spread.
+* state is a Dataset of directed (node, lab) edges whose components
+  are invariant across rounds;
+* LARGE-STAR: symmetrize the edges ((u,v) -> (u,v)+(v,u), self-loops
+  dropped), sort by node, and per node-run emit ``(v, m)`` for every
+  neighbor ``v > u`` where ``m = min(run's neighbors + u)`` — every
+  strictly-larger neighbor re-points at the run's minimum. Output is
+  ONE edge per undirected input edge, already oriented node > lab;
+* SMALL-STAR: sort the (node > lab)-oriented edges by node; per run
+  with neighbor set W and ``m = min(W)`` emit ``(w, m)`` for every
+  ``w`` in ``W \\ {m}`` plus ``(u, m)`` — the smaller neighbors and u
+  itself all re-point at the run minimum. Output rows <= input rows
+  + one per run;
+* a node-run SPLIT across blocks just yields fragment-local minima:
+  every emitted edge still connects two nodes of the same component
+  and every input edge still attaches its larger endpoint to a
+  strictly smaller node, so components are preserved and progress
+  continues (fragmentation only slows contraction by a round, never
+  breaks it). No boundary side-channel is needed;
+* convergence: labels never increase and the star state (every edge
+  (v, component-min)) reproduces itself exactly under both kernels
+  regardless of block splits, so the stop rule is multiset stability
+  of the state between consecutive rounds, checked by a tiny
+  per-block (count, uint64 hash-sum) signature. Rounds are
+  O(log^2 n) in theory, a handful in practice.
 
-The state is O(V+E) two-int64-column rows (the min id of a cluster
-transiently holds its membership list — hash-to-min's known
-O(cluster) hot-spot, spread across sorted blocks and fine for
-near-dup cluster sizes) and is MATERIALIZED once per round — the
+Unlike hash-to-min delivery (whose root run transiently carries the
+whole cluster membership — O(cluster) state explosion on a giant
+component, measured 1237 s at 21M adversarial edges), the state here
+is bounded by 2|E| rows in EVERY round no matter the component
+shape. State is MATERIALIZED once per kernel — the
 iterative-algorithm exception to the never-materialize rule (without
-it the lazy lineage doubles per round). No joins, no groupby: one
-range sort + one map + a tiny coalesce per round.
+it the lazy lineage doubles per round). No joins, no groupby: two
+range sorts + two maps per round.
 
 The reference's only dedup is insert-if-absent on file paths
 (/root/reference/libs/lib_database.py:73-94, SURVEY.md D1); this
@@ -95,61 +92,75 @@ def _contract(node: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return ids, ids[L]
 
 
-def _star_rows(ids: np.ndarray, roots: np.ndarray) -> pd.DataFrame:
-    """Star rows (x, root) AND reverse rows (root, x): the reverse rows
-    are the delivery-subscription list of hash-to-min — when the root
-    itself later re-roots, its node-run carries every member as a lab,
-    so the new root is re-delivered keyed AT each member. Without them
-    a stale pointer (b -> x) could never observe x's later re-rooting
-    (sort co-locates by node, and b's and x's rows sort arbitrarily
-    far apart)."""
-    m = ids != roots
+_EMPTY_STATE = {
+    "node": pd.Series([], dtype="int64"),
+    "lab": pd.Series([], dtype="int64"),
+}
+
+
+def _dedupe_pairs(node: np.ndarray, lab: np.ndarray) -> pd.DataFrame:
+    """Within-block (node, lab) dedup — opportunistic, keeps duplicate
+    edges from compounding across rounds."""
+    if len(node) == 0:
+        return pd.DataFrame(_EMPTY_STATE)
+    order = np.lexsort((lab, node))
+    n, l = node[order], lab[order]
+    keep = np.ones(len(n), dtype=bool)
+    keep[1:] = (n[1:] != n[:-1]) | (l[1:] != l[:-1])
+    return pd.DataFrame({"node": n[keep], "lab": l[keep]})
+
+
+def _runs(node: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run starts, per-row run id) of a node-sorted array."""
+    change = np.ones(len(node), dtype=bool)
+    change[1:] = node[1:] != node[:-1]
+    starts = np.flatnonzero(change)
+    return starts, np.cumsum(change) - 1
+
+
+def _symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+    """(u,v) -> (u,v) and (v,u); self-loops dropped."""
+    node = b["node"].to_numpy()
+    lab = b["lab"].to_numpy()
+    m = node != lab
+    node, lab = node[m], lab[m]
     return pd.DataFrame(
         {
-            "node": np.concatenate([ids, roots[m]]),
-            "lab": np.concatenate([roots, ids[m]]),
+            "node": np.concatenate([node, lab]),
+            "lab": np.concatenate([lab, node]),
         }
     )
 
 
-def _round_block_fn(b: pd.DataFrame) -> pd.DataFrame:
-    """One contraction round over a node-sorted block: emit star rows
-    for every distinct id, plus the block's two boundary rows tagged
-    for the global micro-merge."""
+def _large_star_block(b: pd.DataFrame) -> pd.DataFrame:
+    """Large-star over a node-sorted block of symmetrized edges: every
+    neighbor v > u re-points at m = min(run neighbors + u). Output is
+    oriented node > lab."""
     if len(b) == 0:
-        return pd.DataFrame(
-            {
-                "node": pd.Series([], dtype="int64"),
-                "lab": pd.Series([], dtype="int64"),
-                "kind": pd.Series([], dtype=object),
-            }
-        )
+        return pd.DataFrame(_EMPTY_STATE)
     node = b["node"].to_numpy()
     lab = b["lab"].to_numpy()
-    ids, roots = _contract(node, lab)
-    out = _star_rows(ids, roots)
-    out["kind"] = "star"
-    # boundary rows: the contracted rows of the block's first and last
-    # vertex (a vertex split across blocks meets its other half in the
-    # micro-merge even if the sort splits it the same way every round)
-    bounds = np.unique(np.array([node[0], node[-1]]))
-    sel = np.isin(ids, bounds)
-    edge = pd.DataFrame({"node": ids[sel], "lab": roots[sel]})
-    edge["kind"] = "edge"
-    return pd.concat([out, edge], ignore_index=True)
+    starts, run_id = _runs(node)
+    m = np.minimum(np.minimum.reduceat(lab, starts), node[starts])[run_id]
+    sel = lab > node
+    return _dedupe_pairs(lab[sel], m[sel])
 
 
-def _merge_block_fn(b: pd.DataFrame) -> pd.DataFrame:
-    """Global micro-merge of all boundary rows (O(blocks) input)."""
+def _small_star_block(b: pd.DataFrame) -> pd.DataFrame:
+    """Small-star over a node-sorted block of (node > lab)-oriented
+    edges: all smaller neighbors and u itself re-point at m = min(W)."""
     if len(b) == 0:
-        return pd.DataFrame(
-            {
-                "node": pd.Series([], dtype="int64"),
-                "lab": pd.Series([], dtype="int64"),
-            }
-        )
-    ids, roots = _contract(b["node"].to_numpy(), b["lab"].to_numpy())
-    return _star_rows(ids, roots)
+        return pd.DataFrame(_EMPTY_STATE)
+    node = b["node"].to_numpy()
+    lab = b["lab"].to_numpy()
+    starts, run_id = _runs(node)
+    run_min = np.minimum.reduceat(lab, starts)
+    m = run_min[run_id]
+    sel = lab != m
+    return _dedupe_pairs(
+        np.concatenate([lab[sel], node[starts]]),
+        np.concatenate([m[sel], run_min]),
+    )
 
 
 def _snapshot(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -191,7 +202,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iters: int = 30,
     num_partitions: int | None = None,
-    small_limit: int = 20_000_000,
+    small_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Cluster ids for every node that appears in a pair.
 
@@ -200,12 +211,14 @@ def connected_components(
     reachable through pair edges — one stable id per component).
 
     Adaptive like pipelines/prepare's keep-set filter: a pair set of
-    <= ``small_limit`` rows (20M pairs = ~320 MB of int64, seconds of
-    numpy) contracts in ONE task — identical kernel, identical
-    result; the multi-round sort machinery is strictly for pair sets
-    beyond a single worker's heap. Measured on this box: 21M-edge
-    giant-component worst case = 1237 s distributed vs ~40 s
-    single-task, so the crossover is far above this default.
+    <= ``small_limit`` rows contracts in ONE task (one vectorized
+    numpy contraction — identical result); larger sets run the
+    large-star/small-star rounds. Measured on this box (32 CPUs):
+    16M-pair clique shape 14.1 s distributed vs 43.6 s single-task;
+    21M-pair single-giant-component worst case 52.3 s distributed
+    (vs 1237 s for the former hash-to-min rounds) — the distributed
+    path wins from the low tens of millions of pairs, so the default
+    crossover sits at 5M where round fixed costs still dominate.
     """
     if num_partitions is None:
         num_partitions = _default_partitions()
@@ -236,35 +249,43 @@ def connected_components(
 
     prev = None
     for _ in range(max_iters):
-        tagged = _snapshot(
-            rows.sort("node").map_batches(_round_block_fn, batch_format="pandas")
+        # large-star: symmetrized edges, larger neighbors re-point at
+        # the run min; output comes back oriented node > lab
+        rows = _snapshot(
+            rows.map_batches(_symmetrize, batch_format="pandas")
+            .sort("node")
+            .map_batches(_large_star_block, batch_format="pandas")
         )
-        stars = tagged.map_batches(
-            lambda b: b[b["kind"] == "star"][["node", "lab"]],
-            batch_format="pandas",
+        # small-star: smaller neighbors + the node re-point at min(W)
+        rows = _snapshot(
+            rows.sort("node").map_batches(_small_star_block, batch_format="pandas")
         )
-        merged = (
-            tagged.map_batches(
-                lambda b: b[b["kind"] == "edge"][["node", "lab"]],
-                batch_format="pandas",
-            )
-            .repartition(1)
-            .map_batches(_merge_block_fn, batch_format="pandas")
-        )
-        rows = _snapshot(stars.union(merged).repartition(num_partitions))
         sig = _multiset_signature(rows)
         if sig == prev:
             break
         prev = sig
 
-    # exactly one row per node (boundary vertices and merge re-emits
-    # leave duplicate (node, lab) rows; labels are equal at fixpoint,
-    # min is still taken for safety under max_iters truncation)
-    out = dedup.sorted_group_first(
-        rows.map_batches(lambda b: b[["node", "lab"]], batch_format="pandas"),
-        ["node"],
-        "lab",
+    # at the star fixpoint every lab is its component min, but root
+    # nodes and isolated ids (self-pairs) carry no (node, lab) row of
+    # their own — union an identity row per ORIGINAL id, then take the
+    # per-node min (min also guards max_iters truncation)
+    def identity_rows(t):
+        # arrow in/out: the union partner (_snapshot) holds arrow
+        # blocks — a mixed-block-type union poisons sort sampling, and
+        # pyarrow keeps the id type intact even for empty blocks
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = pa.concat_arrays(
+            [t[a_col].combine_chunks(), t[b_col].combine_chunks()]
+        )
+        u = pc.unique(col)
+        return pa.table({"node": u, "lab": u})
+
+    all_rows = rows.union(
+        pairs.map_batches(identity_rows, batch_format="pyarrow")
     )
+    out = dedup.sorted_group_first(all_rows, ["node"], "lab")
     return out.map_batches(
         lambda b: b.rename(columns={"lab": "cluster_id"}), batch_format="pandas"
     ).repartition(num_partitions)
