@@ -175,13 +175,13 @@ def _q_date_extract(sf_dir: str):
     from matomo_log_analytics_ray.control import dates
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = batch[["collection", "path"]].copy()
         batch["log_date"] = dates.extract_date(batch["path"])
         return batch
 
-    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
-        fn, batch_format="pandas"
-    )
+    return ray.data.read_parquet(
+        datagen.log_paths_path(), columns=["collection", "path"]
+    ).map_batches(fn, batch_format="pandas")
 
 
 def _q_o1_recent_events(sf_dir: str):
@@ -371,14 +371,14 @@ def _q_routing_server_extract(sf_dir: str):
     from matomo_log_analytics_ray.control import routing
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
+        batch = batch[["collection", "path"]].copy()
         batch["server_scl"] = routing.extract_server(batch["path"], "scl")
         batch["server_nbr"] = routing.extract_server(batch["path"], "nbr")
         return batch
 
-    return ray.data.read_parquet(datagen.log_paths_path()).map_batches(
-        fn, batch_format="pandas"
-    )
+    return ray.data.read_parquet(
+        datagen.log_paths_path(), columns=["collection", "path"]
+    ).map_batches(fn, batch_format="pandas")
 
 
 def _q_scl_discovery(sf_dir: str):
@@ -389,12 +389,13 @@ def _q_scl_discovery(sf_dir: str):
     from matomo_log_analytics_ray.control import discovery
 
     listing = ray.data.read_parquet(datagen.log_paths_path()).map_batches(
-        lambda b: b[b["collection"] == "scl"][["path"]], batch_format="pandas"
+        lambda b: b[b["collection"] == "scl"][["path", "size", "created_at"]],
+        batch_format="pandas",
     )
     manifest = discovery.build_manifest(listing, "scl", concurrency=2)
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[["path", "server", "date", "status"]].copy()
+        out = b[["path", "server", "date", "status", "size", "created_at"]].copy()
         out = out.rename(columns={"date": "log_date"})
         out["status"] = out["status"].astype("int32")
         return out

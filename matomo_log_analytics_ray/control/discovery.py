@@ -58,6 +58,12 @@ class DeriveMetadata:
                 "size": batch["size"].to_numpy()
                 if "size" in batch.columns
                 else np.zeros(len(batch), dtype=np.int64),
+                # st_ctime -> created_at, per the reference's registry
+                # (lib_database.py:79-80); 0 when the listing source
+                # carries no stat metadata
+                "created_at": batch["created_at"].to_numpy(dtype=np.int64)
+                if "created_at" in batch.columns
+                else np.zeros(len(batch), dtype=np.int64),
                 "server": server.to_numpy(dtype=object),
                 "date": date.to_numpy(dtype=object),
                 "name": routing.make_name(server, date).to_numpy(dtype=object),

@@ -313,13 +313,20 @@ def generate_log_paths(seed: int = 42) -> pa.Table:
             rows.append((coll, p))
     df = pd.DataFrame(rows, columns=["collection", "path"]).drop_duplicates(
         subset=["collection", "path"]
-    )
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    ).reset_index(drop=True)
+    # deterministic file-stat metadata (size bytes, st_ctime epoch
+    # seconds) — what a real directory scan would carry (S2)
+    import zlib
+
+    crc = df["path"].map(lambda p: zlib.crc32(p.encode())).astype("int64")
+    df["size"] = 1_000 + (crc % 50_000_000)
+    df["created_at"] = 1_577_836_800 + (crc % 94_608_000)  # 2020 + <3y
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def log_paths_path(seed: int = 42) -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"log_paths_seed{seed}.parquet")
+    path = os.path.join(CACHE_DIR, f"log_paths_v2_seed{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(generate_log_paths(seed), tmp, row_group_size=512)

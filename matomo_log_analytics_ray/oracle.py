@@ -244,7 +244,7 @@ def scl_discovery_sql(log_paths_parquet: str) -> str:
 
     return f"""
 WITH d AS (
-    SELECT path,
+    SELECT path, size, created_at,
         CASE WHEN path LIKE '%node03%' THEN 'node03'
              WHEN path LIKE '%hiperion%' AND path LIKE '%apache%' THEN 'hiperion-apache'
              WHEN path LIKE '%hiperion%' AND path LIKE '%varnish%' THEN 'hiperion-varnish'
@@ -258,7 +258,8 @@ SELECT path, server, log_date,
          WHEN (path LIKE '%varnishncsa%' AND log_date > '{rules.SCL_ANON_IP_CUTOFF}')
            OR (server = 'hiperion-apache' AND log_date > '{rules.SCL_ANON_IP_CUTOFF}')
          THEN -9
-         ELSE 0 END AS status
+         ELSE 0 END AS status,
+    size, created_at
 FROM d"""
 
 

@@ -52,6 +52,8 @@ MANIFEST = pa.schema(
         pa.field("partition_id", pa.string()),
         pa.field("path", pa.string()),
         pa.field("size", pa.int64()),
+        pa.field("created_at", pa.int64()),  # file st_ctime, epoch seconds
+                                             # (lib_database.py:79-80)
         pa.field("server", pa.string()),     # routing key extracted from path
         pa.field("date", pa.string()),       # normalized %Y-%m-%d or ''
         pa.field("name", pa.string()),       # server-date
