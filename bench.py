@@ -1,10 +1,12 @@
 """Benchmark driver.
 
-Plain run: executes the headline pipelines under
-``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
-over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
-JSON line: {"metric": ..., "value": <headline sec>, "unit": "sec",
+Plain run: executes the HEADLINE tier (flagship + one query per
+operator family) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": <headline sec>, "unit": "sec",
 "queries": {...}, "sf": ..., "num_cpus": N, ...}.
+``--extended`` adds the remaining per-operator queries.
 
 ``--scaling``: runs the headline flagship pipeline twice in FRESH
 processes (num_cpus=8 then 32) on the SAME input — the sandbox
@@ -236,45 +238,53 @@ def main() -> None:
     _fl.run_flagship(tpath, out_dir="/tmp/mla_bench/routed")
     queries["flagship_routed_write"] = round(time.monotonic() - t0, 3)
 
-    q = entrymod.queries()
-    for name in (
-        "q1_lineitem_agg",
+    # HEADLINE tier: flagship + ONE query per operator family, so the
+    # default bench stays well under the driver's budget and the
+    # scaling run isn't crowded out. `--extended` adds the rest.
+    headline = (
+        "q1_lineitem_agg",          # TPC-H-shape aggregate
+        "m8_date_extract",          # control-plane extraction
+        "o1_recent_events",         # sort-desc + limit (partial top-k)
+        "q3_shipping_revenue",      # star join + money aggregate
+        "sessionize_events",        # order-dependent per-key
+        "quantiles_event_values",   # sketch/multi-pass family
+        "dedup_exact_docs",         # exact dedup
+        "dedup_clusters",           # near-dup chain + connected components
+        "tfidf_top_terms",          # text stats (slowest of the family)
+        "similarity_topk",          # ANN
+        "asof_click_purchase",      # temporal join
+        "prepare_training_counts",  # composed prepare pipeline
+        "repeated_substrings",      # substring mining
+    )
+    extended = (
         "a7_event_type_counts",
         "d1_dedup_events",
-        "o1_recent_events",
         "j2_orders_semi_join",
-        "m8_date_extract",
         "window_event_counts",
-        "sessionize_events",
-        "dedup_exact_docs",
         "dedup_minhash_pairs",
         "text_token_counts",
-        "similarity_topk",
-        "asof_click_purchase",
         "range_join_click_purchase",
         "grouped_topk_user_events",
-        "quantiles_event_values",
         "distinct_users_exact",
         "word_doc_freq",
         "sliding_window_counts",
         "heavy_hitter_users",
-        "prepare_training_counts",
         "lm_doc_scores",
         "outlier_events",
-        "dedup_clusters",
         "text_repetition",
         "domain_mix_sample",
-        "tfidf_top_terms",
         "text_clean",
         "decontaminate_train",
         "rank_user_events",
         "rolling_user_value",
-        "q3_shipping_revenue",
         "pivot_daily_events",
         "pack_documents",
-        "repeated_substrings",
         "split_leakage_safe",
-    ):
+    )
+    names = headline + extended if "--extended" in sys.argv else headline
+
+    q = entrymod.queries()
+    for name in names:
         t0 = time.monotonic()
         res = q[name](sf_dir)
         # consume lazily-built datasets so the timing is end-to-end
