@@ -3,21 +3,45 @@
 Image/audio/video payloads are carried as Arrow ``binary`` columns with
 sidecar metadata (media_type, width/height or sample_rate, codec). The
 Ray-side machinery — schema, actor-pool stage shape, small batch sizes
-for large rows, output layout — is real and tested; the actual codec
-work is stubbed (the container ships no image/audio libs): DECODERS
-maps media_type -> callable, the default deterministic fake "decoder"
-derives a stable feature vector from the bytes so pipelines and tests
-exercise the full path, and ``strict=True`` raises NotImplementedError
-exactly where a real decoder (PIL/torchaudio/pyav) would plug in.
+for large rows, output layout — is real and tested; the codec work is
+an OPTIONAL-DEPENDENCY adapter: when PIL (images) / pyav (video) are
+importable they are loaded once per actor and used for real
+decode/resize/frame-sampling; otherwise a deterministic fake path
+derives stable outputs from the payload bytes so pipelines and tests
+exercise the full shape, and ``strict=True`` raises
+NotImplementedError exactly where the missing codec would plug in
+(this container ships neither lib, so the strict paths raise here).
 """
 
 from __future__ import annotations
+
+import io
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+
+def _load_pil():
+    """PIL.Image if installed, else None — resolved once per actor."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _load_av():
+    """pyav if installed, else None — resolved once per actor."""
+    try:
+        import av  # type: ignore
+
+        return av
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -57,14 +81,31 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, strict: bool = False):
-        # a real deployment loads models/codecs here, once per actor
+        # codecs resolved ONCE per actor (not per batch)
         self.strict = strict
+        self.pil = _load_pil()
+
+    def _pil_features(self, payloads: pd.Series) -> np.ndarray:
+        """Real image features via PIL: 8x8 grayscale thumbnail folded
+        to FEATURE_DIM means (per-payload decode is inherently row-wise;
+        batch sizes are small by design)."""
+        out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, raw in enumerate(payloads):
+            if not raw:
+                continue
+            img = self.pil.open(io.BytesIO(raw)).convert("L").resize((8, 8))
+            px = np.asarray(img, dtype=np.float32).ravel()
+            out[i] = px.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
+        return out
 
     def _decode(self, media_type: str, payloads: pd.Series) -> np.ndarray:
+        if media_type.startswith("image/") and self.pil is not None:
+            return self._pil_features(payloads)
         if self.strict:
             raise NotImplementedError(
-                f"no decoder for {media_type}: image/audio libraries are "
-                "not available in this environment; plug PIL/pyav here"
+                f"no decoder for {media_type}: the needed library "
+                "(PIL for images, pyav/torchaudio for av) is not "
+                "installed in this environment"
             )
         return fake_decode_features(payloads)
 
@@ -144,11 +185,19 @@ class MediaResizer:
         self.target_w = int(target_w)
         self.target_h = int(target_h)
         self.strict = strict
+        self.pil = _load_pil()  # once per actor
 
     def _resize_payload(self, raw: bytes) -> bytes:
+        if self.pil is not None and raw:
+            img = self.pil.open(io.BytesIO(raw))
+            fmt = img.format or "PNG"
+            buf = io.BytesIO()
+            img.resize((self.target_w, self.target_h)).save(buf, format=fmt)
+            return buf.getvalue()
         if self.strict:
             raise NotImplementedError(
-                "no image codec in this environment; plug PIL.Image.resize here"
+                "PIL is not installed in this environment; the real "
+                "resize path activates automatically when it is"
             )
         want = max(1, self.target_w * self.target_h // 64)
         if not raw:
@@ -176,17 +225,43 @@ class FrameSampler:
         self.fps = float(fps)
         self.max_frames = int(max_frames)
         self.strict = strict
+        self.av = _load_av()  # once per actor
+
+    def _real_frames(self, raw: bytes) -> list[tuple[int, float, bytes]]:
+        """Demux/decode via pyav, keeping ~fps frames (active only when
+        the lib is installed)."""
+        out = []
+        with self.av.open(io.BytesIO(raw)) as container:
+            stream = container.streams.video[0]
+            next_ts = 0.0
+            for frame in container.decode(stream):
+                t = float(frame.time or 0.0)
+                if t + 1e-9 < next_ts:
+                    continue
+                out.append((len(out), t, frame.to_image().tobytes()))
+                next_ts += 1.0 / self.fps
+                if len(out) >= self.max_frames:
+                    break
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         vids = batch[batch["media_type"] == "video/mp4"]
         rows = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame_payload": []}
         for r in vids.itertuples():
+            raw = r.payload or b""
+            if self.av is not None and raw:
+                for k, ts, payload in self._real_frames(raw):
+                    rows["media_id"].append(r.media_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_ts_s"].append(ts)
+                    rows["frame_payload"].append(payload)
+                continue
             if self.strict:
                 raise NotImplementedError(
-                    "no video codec in this environment; plug pyav here"
+                    "pyav is not installed in this environment; the real "
+                    "frame-sampling path activates automatically when it is"
                 )
             n = min(self.max_frames, max(1, int(np.ceil(r.duration_s * self.fps))))
-            raw = r.payload or b""
             step = max(1, len(raw) // max(1, n))
             for k in range(n):
                 rows["media_id"].append(r.media_id)

@@ -247,3 +247,85 @@ def test_truncate_batch():
     assert out["truncated_text"].tolist() == ["a b c", "one two", "", ""]
     assert out["n_words_kept"].tolist() == [3, 2, 0, 0]
     assert out["was_truncated"].tolist() == [True, False, False, False]
+
+
+def test_media_codec_adapter_uses_pil_when_importable(monkeypatch):
+    """The optional-dependency adapter: when _load_pil resolves, the
+    real decode branch runs (strict=True no longer raises for images)
+    and features come from the decoded thumbnail."""
+    import numpy as np
+
+    from matomo_log_analytics_ray.ops import multimodal
+
+    class FakeImage:
+        def __init__(self, val):
+            self.val = val
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((self.wh[1], self.wh[0]), self.val, dtype=np.float32)
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            return FakeImage(float(buf.getvalue()[0]))
+
+    monkeypatch.setattr(multimodal, "_load_pil", lambda: FakePIL)
+    ex = multimodal.MediaFeatureExtractor(strict=True)
+    batch = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "media_type": ["image/png", "image/png"],
+            "payload": [bytes([255, 9, 9]), bytes([0, 7])],
+        }
+    )
+    out = ex(batch)
+    feats = np.stack(out["features"].to_numpy())
+    assert np.allclose(feats[0], 1.0)  # first byte 255 -> all-ones gray
+    assert np.allclose(feats[1], 0.0)
+    # non-image types still raise under strict when no codec exists
+    audio = pd.DataFrame(
+        {"media_id": [3], "media_type": ["audio/wav"], "payload": [b"abc"]}
+    )
+    with pytest.raises(NotImplementedError):
+        ex(audio)
+
+
+def test_media_resize_adapter_uses_pil_when_importable(monkeypatch):
+    from matomo_log_analytics_ray.ops import multimodal
+
+    class FakeImage:
+        format = "PNG"
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def save(self, buf, format=None):
+            buf.write(b"resized-%dx%d" % self.wh)
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            return FakeImage()
+
+    monkeypatch.setattr(multimodal, "_load_pil", lambda: FakePIL)
+    rz = multimodal.MediaResizer(32, 16, strict=True)
+    batch = pd.DataFrame(
+        {
+            "media_id": [1],
+            "media_type": ["image/jpeg"],
+            "payload": [b"xyz"],
+            "width": [100],
+            "height": [50],
+        }
+    )
+    out = rz(batch)
+    assert out["payload"].iloc[0] == b"resized-32x16"
+    assert out["width"].iloc[0] == 32 and out["height"].iloc[0] == 16
