@@ -1341,6 +1341,121 @@ def _q_similarity_ivf_topk(sf_dir: str):
     return out
 
 
+def _ivf_trained_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    nlist: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+) -> str:
+    """Value gate for the TRAINED IVF flavor (the fixed-parameter twin
+    pattern, completed): retrain the SAME deterministic driver-side
+    k-means (similarity.kmeans_centroids, fixed seed, no Ray needed —
+    Ray's limit() train order is bit-identical to file order, verified)
+    on the gate table, inline the trained centroids as SQL literals,
+    and replay routing + masked scoring with the same argmax/tiebreak
+    conventions as the ivf_topk_fixed gate. The gate therefore checks
+    training, probing, assignment AND scoring end-to-end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from matomo_log_analytics_ray.ops import similarity
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    train = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()[:4096]]
+    )
+    cent = similarity.kmeans_centroids(train, nlist=nlist)
+    cent_rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cent)
+    )
+    return (
+        "WITH e AS ("
+        "  SELECT vec_id, embedding,"
+        "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings"
+        f"), cds AS (SELECT * FROM (VALUES {cent_rows}) AS t(cid, cv)), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, embedding AS qe FROM e "
+        "  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)), "
+        "probe AS ("
+        "  SELECT query_id, cid FROM ("
+        "    SELECT q.query_id, c.cid, ROW_NUMBER() OVER ("
+        "      PARTITION BY q.query_id ORDER BY"
+        "      list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn"
+        "    FROM q CROSS JOIN cds c"
+        f"  ) WHERE rn <= {nprobe}"
+        "), assign AS ("
+        "  SELECT vec_id, cid FROM ("
+        "    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+        "      PARTITION BY e.vec_id ORDER BY"
+        "      list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn"
+        "    FROM e CROSS JOIN cds c"
+        "  ) WHERE rn = 1"
+        ") SELECT query_id, vec_id, ROUND(score, 4) AS score FROM ("
+        "  SELECT p.query_id, e.vec_id,"
+        "    list_cosine_similarity(e.embedding, q.qe) AS score,"
+        "    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY"
+        "      list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn"
+        "  FROM e JOIN assign a USING (vec_id)"
+        "  JOIN probe p ON p.cid = a.cid"
+        "  JOIN q ON q.query_id = p.query_id"
+        f") WHERE rn <= {k}"
+    )
+
+
+def _lsh_trained_sql(
+    n_bits: int = 6,
+    k: int = 5,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Value gate for the seeded-random-plane LSH flavor: regenerate
+    the SAME deterministic planes (fixed-seed rng in signature_bits),
+    inline them as SQL literals, and replay bucketing (sign of
+    dot(vec, plane) folded into the bucket id) + in-bucket cosine
+    top-k. Residual risk: numpy computes the dots in float32, SQL in
+    double — a dot within float32 rounding error of 0 could flip a
+    bucket bit; with 32-dim unit-scale data that boundary is ~never
+    hit (verified at the gate scale)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)
+    dim = len(head["embedding"][0])
+    planes = (
+        np.random.default_rng(0x5EED)
+        .standard_normal((dim, n_bits))
+        .astype(np.float32)
+    )
+    plane_rows = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in planes[:, j]))
+        for j in range(n_bits)
+    )
+    return (
+        "WITH e AS ("
+        "  SELECT vec_id, embedding,"
+        "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "  FROM embeddings"
+        f"), pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(j, pv)), "
+        "sigs AS ("
+        "  SELECT e.vec_id, CAST(SUM(CASE WHEN"
+        "    list_inner_product(e.v, p.pv) > 0"
+        "    THEN CAST(2 ** p.j AS BIGINT) ELSE 0 END) AS BIGINT) AS sig"
+        "  FROM e CROSS JOIN pl p GROUP BY e.vec_id"
+        "), es AS ("
+        "  SELECT e.vec_id, e.embedding, s.sig FROM e JOIN sigs s USING (vec_id)"
+        "), q AS ("
+        "  SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM es"
+        "  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)"
+        ") SELECT query_id, vec_id, ROUND(score, 4) AS score FROM ("
+        "  SELECT q.query_id, e.vec_id,"
+        "    list_cosine_similarity(e.embedding, q.qe) AS score,"
+        "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY"
+        "      list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn"
+        "  FROM es e JOIN q ON e.sig = q.qsig"
+        f") WHERE rn <= {k}"
+    )
+
+
 def _q_similarity_lsh_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2313,6 +2428,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM e JOIN q ON e.sig = q.qsig"
             ") WHERE rn <= 5"
         ),
+        "similarity_ivf_topk": _ivf_trained_sql(),
+        "similarity_lsh_topk": _lsh_trained_sql(),
         "ivf_topk_fixed": (
             "WITH e AS ("
             "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,"
