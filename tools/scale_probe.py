@@ -197,6 +197,73 @@ def main_text() -> None:
     ray.shutdown()
 
 
+DELTA = "--delta" in sys.argv
+
+
+def main_delta() -> None:
+    """Round-3 probe: upsert / snapshot_diff / pack_greedy over the
+    20M-row events table (VERDICT r2 item 6). The delta/new side is a
+    10% id slice with modified values, exercising BOTH upsert paths
+    (broadcast anti-filter at 2M keys; forced hash left_anti via
+    broadcast_limit=0) and the CDC full_outer classify."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    src = make_input()
+    from matomo_log_analytics_ray.ops import delta as delta_ops
+    from matomo_log_analytics_ray.ops import pack as pack_ops
+
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        if isinstance(out, int):
+            n_out = out
+        elif isinstance(out, pd.DataFrame):
+            n_out = len(out)
+        else:
+            n_out = out.count()
+        results[name] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "rows_out": int(n_out),
+            "rows_per_sec": round(N_ROWS / (time.monotonic() - t0)),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    def read():
+        return ray.data.read_parquet(src, columns=["event_id", "user_id", "value"])
+
+    def delta_side():
+        # 10% of ids, values shifted (the upsert/CDC "new" rows)
+        return read().map_batches(
+            lambda b: b[b["event_id"] % 10 == 0].assign(value=lambda d: d["value"] + 1.0),
+            batch_format="pandas",
+        )
+
+    timed("upsert_broadcast_10pct", lambda: delta_ops.upsert(
+        read(), delta_side(), "event_id"))
+    timed("upsert_join_10pct", lambda: delta_ops.upsert(
+        read(), delta_side(), "event_id", broadcast_limit=0))
+    timed("snapshot_diff_10pct", lambda: delta_ops.snapshot_diff(
+        read(), delta_ops.upsert(read(), delta_side(), "event_id"),
+        "event_id", ["value"]))
+    timed("pack_greedy_b4000", lambda: pack_ops.pack_greedy(
+        ray.data.read_parquet(src, columns=["event_id", "user_id"]).map_batches(
+            lambda b: b.assign(n_chars=(b["user_id"] % 900 + 100).astype("int64")),
+            batch_format="pandas",
+        ),
+        id_col="event_id", size_col="n_chars", budget=4000, shard_size=64,
+    ).count())
+
+    print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
+                      "results": results}))
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
     import ray.data
@@ -292,4 +359,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_ann() if ANN else (main_text() if TEXT else main())
+    if ANN:
+        main_ann()
+    elif TEXT:
+        main_text()
+    elif DELTA:
+        main_delta()
+    else:
+        main()
