@@ -134,3 +134,38 @@ def rate_sample(
         return b[bucket < thr]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def epoch_shuffle(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    epoch: int = 0,
+) -> "ray.data.Dataset":
+    """(id, shard, pos): deterministic per-epoch training order — each
+    example hashes to a read shard and a 1-based position within it;
+    changing ``epoch`` re-permutes both, so every epoch sees a
+    different but REPRODUCIBLE order on any cluster shape (the
+    distributed stand-in for an in-memory epoch shuffle; readers
+    consume shard s in pos order). Knuth multiplicative hash with an
+    epoch salt — SQL-replayable in BIGINT for ids < 2^31 (the
+    driver-gate flavor; use hashing.mix for full 64-bit id spaces).
+    Cost: one range sort (inside grouped_rank), no other shuffle."""
+    from . import rank as rankmod
+
+    def hashes(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        h = ((ids.astype(np.uint64) + np.uint64(epoch) * np.uint64(40503)) * KNUTH) & _M32
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard": (h % np.uint64(n_shards)).astype(np.int64),
+                "h": h.astype(np.int64),
+            }
+        )
+
+    rows = ds.map_batches(hashes, batch_format="pandas")
+    ranked = rankmod.grouped_rank(rows, ["shard"], ["h", id_col], rank_col="pos")
+    return ranked.map_batches(
+        lambda b: b[[id_col, "shard", "pos"]], batch_format="pandas"
+    )
