@@ -1031,6 +1031,19 @@ def _q_epoch_shuffle(sf_dir: str):
     return split.epoch_shuffle(ds, n_shards=8, epoch=3)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Adjacent-bigram PMI collocations (ops/colloc.py): pre-reduced
+    per-batch bigram/unigram partials -> sorted-run sums -> broadcast
+    vocab lookup, PMI rounded to 6 dp. Oracle: the same formula over
+    generate_series bigrams in SQL."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import colloc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return colloc.pmi_collocations(ds, min_count=5)
+
+
 def _q_rollup_event_day(sf_dir: str):
     """ROLLUP / GROUPING SETS aggregate: (event_type, day) counts plus
     per-type subtotals plus the grand total in one result ('ALL'
@@ -2327,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_daily_events": _q_pivot_daily_events,
         "rollup_event_day": _q_rollup_event_day,
         "pack_documents": _q_pack_documents,
+        "pmi_collocations": _q_pmi_collocations,
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
@@ -2605,6 +2619,26 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8"
             "    ORDER BY hv, doc_id) AS BIGINT) AS pos "
             "FROM h"
+        ),
+        "pmi_collocations": (
+            "WITH w AS ("
+            "  SELECT regexp_extract_all(lower(coalesce(text, '')),"
+            "    '[a-z0-9]+') AS ws FROM documents"
+            "), big AS ("
+            "  SELECT ws[i] AS w1, ws[i + 1] AS w2"
+            "  FROM w, LATERAL (SELECT unnest(generate_series(1,"
+            "    len(ws) - 1)) AS i) t"
+            "), bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2), "
+            "uw AS (SELECT unnest(ws) AS w FROM w), "
+            "uc AS (SELECT w, COUNT(*) AS c FROM uw GROUP BY 1), "
+            "tot AS (SELECT (SELECT COUNT(*) FROM big) AS nb,"
+            "  (SELECT COUNT(*) FROM uw) AS nu) "
+            "SELECT b.w1, b.w2, CAST(b.n_ab AS BIGINT) AS n_ab,"
+            "  ROUND(LN((b.n_ab / t.nb) / ((u1.c / t.nu) * (u2.c / t.nu))), 6)"
+            "    AS pmi "
+            "FROM bc b JOIN uc u1 ON u1.w = b.w1"
+            "  JOIN uc u2 ON u2.w = b.w2 CROSS JOIN tot t "
+            "WHERE b.n_ab >= 5"
         ),
         "pack_documents": (
             "WITH RECURSIVE d AS ("

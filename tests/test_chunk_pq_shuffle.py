@@ -112,3 +112,44 @@ def test_epoch_shuffle_deterministic_and_complete():
         ray.data.from_pandas(df).repartition(4), n_shards=8, epoch=2
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert not a[["shard", "pos"]].equals(c[["shard", "pos"]])
+
+
+def test_pmi_collocations_matches_pandas_reference():
+    import math
+
+    from matomo_log_analytics_ray.ops import colloc
+
+    docs = pd.DataFrame(
+        {
+            "text": (
+                ["the quick fox"] * 6          # "the quick", "quick fox" x6
+                + ["quick fox runs"] * 4       # "quick fox" 4 more
+                + ["the slow dog", None, ""]
+            )
+        }
+    )
+    out = (
+        colloc.pmi_collocations(
+            ray.data.from_pandas(docs).repartition(4), min_count=5
+        )
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    # reference counts
+    toks = [t.lower().split() for t in docs["text"].fillna("") if t]
+    bigs = [(a, b) for ws in toks for a, b in zip(ws, ws[1:])]
+    unis = [w for ws in toks for w in ws]
+    import collections
+
+    bc, uc = collections.Counter(bigs), collections.Counter(unis)
+    want = []
+    for (a, b), n in sorted(bc.items()):
+        if n >= 5:
+            pmi = math.log(
+                (n / len(bigs)) / ((uc[a] / len(unis)) * (uc[b] / len(unis)))
+            )
+            want.append((a, b, n, round(pmi, 6)))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want
+    assert {("the", "quick"), ("quick", "fox")} == {(a, b) for a, b, *_ in got}

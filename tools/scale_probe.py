@@ -193,6 +193,11 @@ def main_text() -> None:
     timed("repeated_substrings_w40", lambda: substr_ops.repeated_substring_docs(
         rd(), w=40))
 
+    from matomo_log_analytics_ray.ops import colloc
+
+    timed("pmi_collocations", lambda: colloc.pmi_collocations(
+        rd(), min_count=5))
+
     print(json.dumps({"n_docs": TEXT_DOCS, "num_cpus": 32, "results": results}))
     ray.shutdown()
 
