@@ -1031,6 +1031,58 @@ def _q_epoch_shuffle(sf_dir: str):
     return split.epoch_shuffle(ds, n_shards=8, epoch=3)
 
 
+_BM25_QUERIES = {"q_perf": "fast hash merge", "q_scan": "table scan value"}
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 oracle: the exact engine formula (Lucene idf, one final
+    6 dp rounding) over generate_series-free SQL; the query term table
+    is built from the same _BM25_QUERIES constant."""
+    import re
+
+    qrows = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in _BM25_QUERIES.items()
+        for t in sorted(set(re.findall(r"[a-z0-9]+", text.lower())))
+    )
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),"
+        "  '[a-z0-9]+') AS ws FROM documents), "
+        "dl AS (SELECT doc_id, len(ws) AS dlen FROM w), "
+        "tok AS (SELECT doc_id, unnest(ws) AS t FROM w), "
+        f"q AS (SELECT * FROM (VALUES {qrows}) AS v(query_id, t)), "
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok"
+        "  WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY 1, 2), "
+        "stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,"
+        "  (SELECT SUM(CAST(dlen AS DOUBLE)) / (SELECT COUNT(*) FROM documents)"
+        "   FROM dl) AS avglen), "
+        "df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) "
+        "SELECT q.query_id, tf.doc_id, ROUND(SUM("
+        "  LN((s.n - COALESCE(df.df, 0) + 0.5) / (COALESCE(df.df, 0) + 0.5) + 1)"
+        f"  * tf.tf * ({k1} + 1)"
+        f"  / (tf.tf + {k1} * (1 - {b} + {b} * dl.dlen / s.avglen))"
+        "), 6) AS score "
+        "FROM tf JOIN q USING (t) JOIN dl USING (doc_id)"
+        "  CROSS JOIN stats s LEFT JOIN df ON df.t = tf.t "
+        "GROUP BY 1, 2"
+    )
+
+
+def _q_bm25_scores(sf_dir: str):
+    """BM25 (Lucene idf) of the documents corpus against two fixed
+    queries (ops/bm25.py): query-term tf rows + O(batches x terms)
+    stat partials, broadcast constants, vectorized scoring, one final
+    bounded group sum. Oracle: identical formula in SQL."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import bm25
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25.bm25_scores(ds, _BM25_QUERIES)
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Adjacent-bigram PMI collocations (ops/colloc.py): pre-reduced
     per-batch bigram/unigram partials -> sorted-run sums -> broadcast
@@ -2341,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_event_day": _q_rollup_event_day,
         "pack_documents": _q_pack_documents,
         "pmi_collocations": _q_pmi_collocations,
+        "bm25_scores": _q_bm25_scores,
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
@@ -2620,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY hv, doc_id) AS BIGINT) AS pos "
             "FROM h"
         ),
+        "bm25_scores": _bm25_sql(),
         "pmi_collocations": (
             "WITH w AS ("
             "  SELECT regexp_extract_all(lower(coalesce(text, '')),"

@@ -153,3 +153,43 @@ def test_pmi_collocations_matches_pandas_reference():
     got = list(out.itertuples(index=False, name=None))
     assert got == want
     assert {("the", "quick"), ("quick", "fox")} == {(a, b) for a, b, *_ in got}
+
+
+def test_bm25_matches_reference_and_partitioning():
+    import math
+
+    from matomo_log_analytics_ray.ops import bm25
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "fast hash join", "hash hash hash table", "slow scan",
+                "fast fast merge", "table value scan", "", None,
+                "merge sort fast hash",
+            ],
+        }
+    )
+    queries = {"q": "fast hash"}
+
+    def ref():
+        toks = [(t or "").lower().split() for t in docs["text"]]
+        n, avg = len(toks), sum(len(w) for w in toks) / len(toks)
+        out = {}
+        for term in ("fast", "hash"):
+            df = sum(term in w for w in toks)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            for i, w in enumerate(toks):
+                tf = w.count(term)
+                if tf:
+                    out[i] = out.get(i, 0.0) + idf * tf * 2.2 / (
+                        tf + 1.2 * (1 - 0.75 + 0.75 * len(w) / avg)
+                    )
+        return {i: round(s, 6) for i, s in out.items()}
+
+    want = ref()
+    for nblocks in (1, 5):
+        got = bm25.bm25_scores(
+            ray.data.from_pandas(docs).repartition(nblocks), queries
+        ).to_pandas()
+        assert dict(zip(got["doc_id"], got["score"])) == want
