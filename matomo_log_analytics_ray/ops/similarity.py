@@ -401,21 +401,35 @@ def verify_pairs_cosine(
     vectorized batch kernel computes cosine and filters >= threshold.
     Only candidate pairs (small by construction) carry vector payloads
     through the shuffle."""
+    from . import dedup as dedup_ops
+
+    id_t = dedup_ops.arrow_col_type(corpus, id_col)
+
     def _renamer(ident: str, emb: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def fn(t: "pa.Table") -> "pa.Table":
             # vectors packed to float64 bytes: Arrow's hash join rejects
-            # nested/tensor payload columns, binary passes through fine
+            # nested/tensor payload columns, binary passes through fine.
+            # Arrow in/out with explicit types so an empty block can't
+            # emit a null-typed column that poisons the join aggregator.
+            df = t.to_pandas()
             packed = [
                 np.asarray(v, dtype=np.float64).tobytes()
-                for v in b[vec_col].to_numpy()
+                for v in df[vec_col].to_numpy()
             ]
-            return pd.DataFrame({ident: b[id_col], emb: packed})
+            return pa.table(
+                {
+                    ident: pc.cast(t[id_col], id_t),
+                    emb: pa.array(packed, type=pa.binary()),
+                }
+            )
 
         return fn
 
-    emb_a = corpus.map_batches(_renamer("id_a", "emb_a"), batch_format="pandas")
-    emb_b = corpus.map_batches(_renamer("id_b", "emb_b"), batch_format="pandas")
-    from . import dedup as dedup_ops
+    emb_a = corpus.map_batches(_renamer("id_a", "emb_a"), batch_format="pyarrow")
+    emb_b = corpus.map_batches(_renamer("id_b", "emb_b"), batch_format="pyarrow")
 
     pairs = dedup_ops.normalize_pair_ids(
         pairs, dedup_ops.arrow_col_type(corpus, id_col), num_partitions
