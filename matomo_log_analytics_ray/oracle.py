@@ -522,11 +522,24 @@ WITH t AS (
              THEN list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {gram}))
              ELSE list_distinct(w) END AS sh
     FROM t
+), shingle_rows AS (
+    SELECT doc_id, unnest(sh) AS g FROM s
+), olap AS (
+    -- exact set-similarity join: only pairs sharing >= 1 distinct
+    -- shingle can reach any threshold > 0, so the inverted-index
+    -- self-join + count replaces the all-pairs list_intersect scan
+    -- (identical result, ~50x faster on the driver's gate corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM shingle_rows a JOIN shingle_rows b
+      ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), slen AS (
+    SELECT doc_id, len(sh) AS n_sh FROM s
 ), p AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.sh, b.sh)) AS inter,
-           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    SELECT o.id_a, o.id_b, o.inter, la.n_sh + lb.n_sh - o.inter AS uni
+    FROM olap o
+    JOIN slen la ON la.doc_id = o.id_a
+    JOIN slen lb ON lb.doc_id = o.id_b
 )
 SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
 FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}"""
@@ -544,11 +557,21 @@ def _jaccard_pairs_ctes(threshold: float = 0.8, k: int = 3) -> str:
              THEN list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {gram}))
              ELSE list_distinct(w) END AS sh
     FROM t
+), shingle_rows AS (
+    SELECT doc_id, unnest(sh) AS g FROM s
+), olap AS (
+    -- inverted-index set-similarity join (see jaccard_verified_pairs_sql)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM shingle_rows a JOIN shingle_rows b
+      ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), slen AS (
+    SELECT doc_id, len(sh) AS n_sh FROM s
 ), p AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.sh, b.sh)) AS inter,
-           len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    SELECT o.id_a, o.id_b, o.inter, la.n_sh + lb.n_sh - o.inter AS uni
+    FROM olap o
+    JOIN slen la ON la.doc_id = o.id_a
+    JOIN slen lb ON lb.doc_id = o.id_b
 ), vp AS (
     SELECT id_a, id_b FROM p
     WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {threshold}
