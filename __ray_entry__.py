@@ -1083,6 +1083,177 @@ def _q_bm25_scores(sf_dir: str):
     return bm25.bm25_scores(ds, _BM25_QUERIES)
 
 
+def _q_semdedup_keep(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) with FIXED centroids so the whole
+    operator is SQL-exact: nearest-centroid assignment (broadcast, no
+    shuffle), then within-cluster keep-first-id cosine dedup — the one
+    shuffle moves each vector once, to its cluster (the method's own
+    partitioning). Oracle: argmin-distance assignment + an EXISTS
+    subquery over same-cluster smaller ids at the same threshold."""
+    import numpy as np
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    dim = len(ds.take(1)[0]["embedding"])
+    cent = np.eye(8, dim) * 10.0
+    return semdedup.semdedup(ds, cent, threshold=0.4)
+
+
+def _q_json_props_agg(sf_dir: str):
+    """JSON payload extraction + aggregate: pull the integer ``k`` out
+    of the events' JSON ``props`` column (vectorized regex — the
+    payloads are flat {"k": int} objects) and aggregate per event_type.
+    Per-batch partial (type, n, sum) rows -> bounded groupby -> avg
+    derived on the fold, so raw JSON strings never shuffle."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        g = (
+            b.assign(_k=k)
+            .groupby("event_type", as_index=False)
+            .agg(n_events=("_k", "size"), sum_k=("_k", "sum"))
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        g["sum_k"] = g["sum_k"].astype("int64")
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    out["avg_k"] = (out["sum_k"] / out["n_events"]).round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences: LAG(event_type) per user ordered by (ts, event_id),
+    then (prev, next) pair counts. The string types are coded through
+    a tiny broadcast dict so the lag machinery shuffles int codes, and
+    the transition matrix is a bounded (|types|^2) groupby of
+    per-batch partials; names are decoded on the final fold."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    types = sorted(
+        r["event_type"] for r in ds.groupby("event_type").count().take_all()
+    )
+    code = {t: i for i, t in enumerate(types)}
+    code_ref = ray.put(code)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(code_ref)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "ev_code": b["event_type"].map(c).astype("int64"),
+            }
+        )
+
+    lagged = window.grouped_lag(
+        ds.map_batches(encode, batch_format="pandas"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "ev_code",
+        n=1,
+        out_col="prev_code",
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["prev_code"].notna()]
+        g = (
+            b.groupby(["prev_code", "ev_code"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    folded = (
+        lagged.map_batches(partial, batch_format="pandas")
+        .groupby(["prev_code", "ev_code"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    folded["prev_type"] = folded["prev_code"].astype(int).map(dict(enumerate(types)))
+    folded["next_type"] = folded["ev_code"].astype(int).map(dict(enumerate(types)))
+    return (
+        folded[["prev_type", "next_type", "n"]]
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_resample_daily(sf_dir: str):
+    """Gap-filled daily resample: (event_type, day) counts with ZERO
+    rows for calendar days a type produced no events — the time-series
+    regularization training dashboards need. The distributed part is
+    the bounded (type, day) partial-combine groupby; the calendar fill
+    is O(days x types) on the folded result."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.assign(day=b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"))
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    days = pd.date_range(
+        counts["day"].min(), counts["day"].max(), freq="D"
+    ).strftime("%Y-%m-%d")
+    full = pd.MultiIndex.from_product(
+        [sorted(counts["event_type"].unique()), days], names=["event_type", "day"]
+    )
+    out = (
+        counts.set_index(["event_type", "day"])
+        .reindex(full, fill_value=0)
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Adjacent-bigram PMI collocations (ops/colloc.py): pre-reduced
     per-batch bigram/unigram partials -> sorted-run sums -> broadcast
@@ -2402,6 +2573,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+        # --- new this session (rotate into the window next round) ---
+        "semdedup_keep": _q_semdedup_keep,
+        "json_props_agg": _q_json_props_agg,
+        "event_transitions": _q_event_transitions,
+        "resample_daily": _q_resample_daily,
     }
 
 
@@ -2634,6 +2810,60 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding_clusters": oracle.embedding_clusters_sql(threshold=0.4),
         "split_leakage_safe": oracle.leakage_safe_split_sql(threshold=0.8),
+        "semdedup_keep": (
+            "WITH c AS ("
+            "  SELECT cid, list_transform("
+            "    range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),"
+            "    i -> CASE WHEN i = cid + 1 THEN 10.0 ELSE 0.0 END) AS cv"
+            "  FROM (SELECT unnest(generate_series(0, 7)) AS cid)"
+            "), e AS ("
+            "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings"
+            "), a AS ("
+            "  SELECT e.vec_id, arg_min(c.cid, list_distance(e.v, c.cv)) AS cl"
+            "  FROM e CROSS JOIN c GROUP BY e.vec_id"
+            "), av AS ("
+            "  SELECT a.vec_id, a.cl, e.v FROM a JOIN e USING (vec_id)"
+            ") SELECT av.vec_id, CAST(av.cl AS BIGINT) AS cluster,"
+            "  NOT EXISTS ("
+            "    SELECT 1 FROM av b WHERE b.cl = av.cl AND b.vec_id < av.vec_id"
+            "    AND list_cosine_similarity(b.v, av.v) >= 0.4"
+            "  ) AS keep "
+            "FROM av"
+        ),
+        "json_props_agg": (
+            "SELECT event_type,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_events,"
+            "  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            "    AS BIGINT) AS sum_k,"
+            "  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)"
+            "    AS avg_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "event_transitions": (
+            "WITH x AS ("
+            "  SELECT event_type, LAG(event_type) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+            "  FROM events"
+            ") SELECT prev AS prev_type, event_type AS next_type,"
+            "  CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM x WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "resample_daily": (
+            "WITH b AS ("
+            "  SELECT event_type, CAST(ts AS DATE) AS d FROM events"
+            "), cal AS ("
+            "  SELECT unnest(generate_series("
+            "    (SELECT min(d) FROM b), (SELECT max(d) FROM b),"
+            "    INTERVAL 1 DAY)) AS d"
+            "), t AS (SELECT DISTINCT event_type FROM b"
+            "), cts AS ("
+            "  SELECT event_type, d, COUNT(*) AS n FROM b GROUP BY 1, 2"
+            ") SELECT t.event_type, strftime(cal.d, '%Y-%m-%d') AS day,"
+            "  CAST(COALESCE(cts.n, 0) AS BIGINT) AS n "
+            "FROM cal CROSS JOIN t"
+            " LEFT JOIN cts ON cts.event_type = t.event_type AND cts.d = cal.d"
+        ),
         "repeated_substrings": (
             "WITH wnd AS ("
             "  SELECT doc_id, unnest(list_distinct(list_transform("

@@ -1,0 +1,105 @@
+"""SemDeDup-style semantic deduplication.
+
+Public method (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540):
+cluster the embedding space, then compare items ONLY within their
+cluster and drop near-semantic-duplicates, turning the O(n^2) global
+cosine comparison into k independent O((n/k)^2) problems.
+
+Determinism contract (the SQL-replayable variant gated by the
+``semdedup_keep`` query): an item is DROPPED iff some item with a
+SMALLER id in the SAME cluster has cosine similarity >= threshold —
+"keep the first occurrence in id order", evaluated against ALL
+earlier cluster members (kept or not). That makes every row's verdict
+a pure function of the input (no dependence on greedy visit order),
+so the whole operator replays as one EXISTS subquery.
+
+Scale shape:
+
+* assignment is a stateless broadcast map (centroids via ``ray.put``,
+  one numpy distance kernel per batch) — no shuffle;
+* the ONE shuffle moves each vector exactly once, to its cluster
+  (``groupby(cluster).map_groups``) — this is the method's own
+  partitioning, and cluster sizes are controlled by k (the paper runs
+  ~100k clusters at web scale);
+* within a cluster the comparison is a tiled ``X @ X.T`` (tile rows x
+  all-earlier columns), so worker memory stays O(tile * cluster_dim)
+  even for a skewed giant cluster — slow is possible, OOM is not.
+
+The reference repo has no embedding operators; this extends the
+dedup family (ops/dedup.py, ops/cluster.py) to the semantic tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1)
+    n = np.where(n == 0.0, 1.0, n)  # zero vectors: similarity 0 to all
+    return X / n[:, None]
+
+
+def semdedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile: int = 2048,
+) -> "ray.data.Dataset":
+    """(id, cluster, keep) for every row: nearest-centroid assignment,
+    then within-cluster keep-first-id cosine dedup (see module
+    docstring for the exact contract)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put(cent)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    vec_col: pd.Series([], dtype=object),
+                    "cluster": pd.Series([], dtype="int64"),
+                }
+            )
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
+        d = -2.0 * (X @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                vec_col: b[vec_col],
+                "cluster": d.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        X = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        m = len(g)
+        drop = np.zeros(m, dtype=bool)
+        # tiled upper-triangle scan: rows [lo:hi) vs ALL columns < hi
+        for lo in range(0, m, tile):
+            hi = min(lo + tile, m)
+            S = X[:hi] @ X[lo:hi].T  # (hi, hi-lo)
+            hit = S >= threshold
+            # column j (global lo+j) is dropped if any row i < lo+j hits
+            rows = np.arange(hi)[:, None]
+            cols = (lo + np.arange(hi - lo))[None, :]
+            drop[lo:hi] |= (hit & (rows < cols)).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cluster": g["cluster"].to_numpy(), "keep": ~drop}
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas"
+    )
