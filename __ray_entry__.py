@@ -1254,6 +1254,24 @@ def _q_resample_daily(sf_dir: str):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (arXiv:2302.03169, unigram form):
+    per-doc mean log-likelihood ratio of a target unigram LM (lang =
+    'en' docs) over the raw-corpus LM, shared top-1000 vocab by raw
+    count. One vocab shuffle carries BOTH models' counts
+    (sorted_group_sum with two measures); raw text never shuffles."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dsir
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir.dsir_weights(ds, "lang", "en").select_columns(
+        ["doc_id", "dsir_weight"]
+    )
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Adjacent-bigram PMI collocations (ops/colloc.py): pre-reduced
     per-batch bigram/unigram partials -> sorted-run sums -> broadcast
@@ -2578,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_agg": _q_json_props_agg,
         "event_transitions": _q_event_transitions,
         "resample_daily": _q_resample_daily,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -2848,6 +2867,33 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT prev AS prev_type, event_type AS next_type,"
             "  CAST(COUNT(*) AS BIGINT) AS n "
             "FROM x WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "dsir_weights": (
+            "WITH w AS ("
+            "  SELECT d.doc_id, (d.lang = 'en') AS tgt,"
+            "    unnest(regexp_extract_all(lower(coalesce(d.text, '')),"
+            "      '[a-z0-9]+')) AS w"
+            "  FROM documents d"
+            "), tot AS ("
+            "  SELECT CAST(count(*) AS BIGINT) AS n,"
+            "    CAST(count(*) FILTER (tgt) AS BIGINT) AS nt FROM w"
+            "), vocab AS ("
+            "  SELECT w, count(*) AS c, count(*) FILTER (tgt) AS ct"
+            "  FROM w GROUP BY w ORDER BY c DESC, w LIMIT 1000"
+            "), lp AS ("
+            "  SELECT w, (CASE WHEN ct > 0"
+            "      THEN ln(ct / (SELECT nt FROM tot))"
+            "      ELSE ln(1.0 / (SELECT nt FROM tot)) END"
+            "    - ln(c / (SELECT n FROM tot))) AS r FROM vocab"
+            "), fl AS ("
+            "  SELECT ln(1.0 / (SELECT nt FROM tot))"
+            "    - ln(1.0 / (SELECT n FROM tot)) AS f"
+            "), scored AS ("
+            "  SELECT w.doc_id, avg(coalesce(lp.r, (SELECT f FROM fl))) AS s"
+            "  FROM w LEFT JOIN lp USING (w) GROUP BY w.doc_id"
+            ") SELECT d.doc_id,"
+            "  ROUND(coalesce(s, (SELECT f FROM fl)), 6) AS dsir_weight "
+            "FROM documents d LEFT JOIN scored USING (doc_id)"
         ),
         "resample_daily": (
             "WITH b AS ("

@@ -53,14 +53,23 @@ def per_key_counts_salted(
 
 
 def sorted_group_sum(
-    rows: "ray.data.Dataset", key_cols: list[str], val_col: str, alias: str = "s"
+    rows: "ray.data.Dataset",
+    key_cols: list[str],
+    val_col: "str | list[str]",
+    alias: "str | list[str]" = "s",
 ) -> "ray.data.Dataset":
     """groupby(key_cols).sum(val_col) for HIGH-CARDINALITY keys via
     sort + vectorized run reduction (the ops/dedup.sorted_group_counts
     shape with a sum measure): interior runs collapse in-block with
     numpy; each block's first/last run forwards ONE pre-reduced
     (key, partial_sum) row to the single merge pass, so a hot key
-    never funnels raw rows. Sums accumulate in float64."""
+    never funnels raw rows. Sums accumulate in float64. ``val_col`` /
+    ``alias`` may be parallel lists to sum several measures in the
+    same single sort (one shuffle instead of one per measure)."""
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    aliases = [alias] if isinstance(alias, str) else list(alias)
+    if len(val_cols) != len(aliases):
+        raise ValueError("val_col and alias must have the same length")
 
     sorted_ds = rows.sort(key_cols)
 
@@ -70,42 +79,49 @@ def sorted_group_sum(
         n = len(b)
         if n == 0:
             out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
-            out[alias] = pd.Series([], dtype="float64")
+            for a in aliases:
+                out[a] = pd.Series([], dtype="float64")
             out["kind"] = pd.Series([], dtype=object)
             return pd.DataFrame(out)
         starts, ends = _run_bounds(b, key_cols)
         last = len(starts) - 1
-        vals = b[val_col].to_numpy(dtype=np.float64)
         # per-run DIRECT sums (add.reduceat), not cumsum differences: a
         # block-wide running total can pass 2^53 and silently break the
         # exact-integer fixed-point gates (q3) even when every RUN sum
         # is comfortably exact
-        run_sums = np.add.reduceat(vals, starts)
+        run_sums = {
+            a: np.add.reduceat(b[v].to_numpy(dtype=np.float64), starts)
+            for v, a in zip(val_cols, aliases)
+        }
         interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
         rows_out = b.iloc[starts[interior]][key_cols].copy()
-        rows_out[alias] = run_sums[interior]
+        for a in aliases:
+            rows_out[a] = run_sums[a][interior]
         rows_out["kind"] = "done"
         edge_runs = [0] if last == 0 else [0, last]
         edges = b.iloc[[starts[r] for r in edge_runs]][key_cols].copy()
-        edges[alias] = run_sums[edge_runs]
+        for a in aliases:
+            edges[a] = run_sums[a][edge_runs]
         edges["kind"] = "edge"
         return pd.concat([rows_out, edges], ignore_index=True)
 
     tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
     done = tagged.map_batches(
-        lambda b: b[b["kind"] == "done"][[*key_cols, alias]], batch_format="pandas"
+        lambda b: b[b["kind"] == "done"][[*key_cols, *aliases]],
+        batch_format="pandas",
     )
 
     def edge_sums(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             out = {c: pd.Series([], dtype=b[c].dtype) for c in key_cols}
-            out[alias] = pd.Series([], dtype="float64")
+            for a in aliases:
+                out[a] = pd.Series([], dtype="float64")
             return pd.DataFrame(out)
-        return b.groupby(key_cols, as_index=False, sort=False)[alias].sum()
+        return b.groupby(key_cols, as_index=False, sort=False)[aliases].sum()
 
     edges = (
         tagged.map_batches(
-            lambda b: b[b["kind"] == "edge"][[*key_cols, alias]],
+            lambda b: b[b["kind"] == "edge"][[*key_cols, *aliases]],
             batch_format="pandas",
         )
         .repartition(1)

@@ -107,3 +107,37 @@ def test_sorted_group_sum_matches_pandas():
         m = got.merge(want, on=["k", "k2"])
         assert len(m) == len(want) == len(got)
         assert np.allclose(m["s"], m["v"], atol=1e-9)
+
+
+def test_sorted_group_sum_multi_measure_matches_single():
+    """Two measures in one sort == two independent single-measure runs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import groupagg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 1000),
+            "v": rng.normal(size=1000),
+            "w": rng.integers(0, 5, 1000).astype("float64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    both = (
+        groupagg.sorted_group_sum(ds, ["k"], ["v", "w"], alias=["sv", "sw"])
+        .to_pandas()
+        .groupby("k", as_index=False)[["sv", "sw"]]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("k", as_index=False)
+        .agg(sv=("v", "sum"), sw=("w", "sum"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(both, ref, check_dtype=False, atol=1e-9)

@@ -156,3 +156,53 @@ def test_json_props_agg(tmp_path):
     out = e._q_json_props_agg(str(tmp_path)).set_index("event_type")
     assert out.loc["a", "sum_k"] == 42 and out.loc["a", "n_events"] == 2
     assert out.loc["b", "avg_k"] == 5.0
+
+
+def test_dsir_weights_match_reference(tmp_path):
+    """dsir_weights == plain-python unigram log-ratio replay, and
+    target-language docs outrank off-target ones on average."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dsir
+
+    rng = np.random.default_rng(5)
+    en_words = ["the", "model", "trains", "data", "fast"]
+    de_words = ["das", "modell", "lernt", "daten", "schnell"]
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        words = rng.choice(en_words if lang == "en" else de_words, 12)
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        dsir.dsir_weights(ds, "lang", "en")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # reference replay
+    import re
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in df["text"]]
+    tgt = (df["lang"] == "en").to_numpy()
+    n = sum(len(t) for t in toks)
+    nt = sum(len(t) for t, g in zip(toks, tgt) if g)
+    from collections import Counter
+    c = Counter(w for t in toks for w in t)
+    ct = Counter(w for t, g in zip(toks, tgt) if g for w in t)
+    ratio = {
+        w: (np.log(max(ct[w], 1) / nt) if ct[w] > 0 else np.log(1 / nt))
+        - np.log(c[w] / n)
+        for w in c
+    }
+    floor = np.log(1 / nt) - np.log(1 / n)
+    ref = [
+        np.mean([ratio.get(w, floor) for w in t]) if t else floor for t in toks
+    ]
+    assert np.allclose(out["dsir_weight"].to_numpy(), np.round(ref, 6), atol=2e-6)
+    en_mean = out["dsir_weight"][tgt].mean()
+    de_mean = out["dsir_weight"][~tgt].mean()
+    assert en_mean > de_mean
