@@ -363,6 +363,65 @@ def main() -> None:
     ray.shutdown()
 
 
+NEWOPS = "--newops" in sys.argv
+
+
+def main_newops() -> None:
+    """Round-3 session probe: semdedup over the 1M x 64 ANN corpus
+    (512 random centroids -> ~2k-vector clusters, the method's own
+    partitioning) and dsir_weights over the 200k-doc corpus — the two
+    newest ops at 2000x their gate volume."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    results = {}
+
+    def timed(name, denom, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n_out = len(out) if isinstance(out, pd.DataFrame) else out.count()
+        dt = time.monotonic() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "rows_out": int(n_out),
+            "items_per_sec": round(denom / dt),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    ann_src = make_ann_input()
+    rng = np.random.default_rng(0x5E0)
+    cent = rng.normal(size=(512, ANN_DIM))
+    from matomo_log_analytics_ray.ops import dsir, semdedup
+
+    timed("semdedup_512c_t08", ANN_ROWS, lambda: semdedup.semdedup(
+        ray.data.read_parquet(ann_src), cent, threshold=0.8))
+    # NOT probed: a degenerate k=8 run (125k-vector clusters) is
+    # ~8 TFLOP of within-cluster pair sims — the documented O((n/k)^2)
+    # cost of underprovisioning k, bounded-memory (tiled) but hours
+    # slow. SemDeDup's own remedy is larger k; the 512c row above is
+    # the method's intended shape.
+
+    from matomo_log_analytics_ray import datagen
+
+    dpath = datagen.documents_path(TEXT_DOCS)
+
+    def with_lang():
+        return ray.data.read_parquet(dpath).map_batches(
+            lambda b: b.assign(lang=np.where(b["doc_id"] % 3 == 0, "en", "de")),
+            batch_format="pandas",
+        )
+
+    timed("dsir_weights", TEXT_DOCS, lambda: dsir.dsir_weights(
+        with_lang(), "lang", "en"))
+
+    print(json.dumps({"n_vecs": ANN_ROWS, "n_docs": TEXT_DOCS,
+                      "num_cpus": 32, "results": results}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if ANN:
         main_ann()
@@ -370,5 +429,7 @@ if __name__ == "__main__":
         main_text()
     elif DELTA:
         main_delta()
+    elif NEWOPS:
+        main_newops()
     else:
         main()
