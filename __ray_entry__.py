@@ -593,6 +593,35 @@ _LM_SCORES_SQL = (
 )
 
 
+_DSIR_SQL = (
+    "WITH w AS ("
+    "  SELECT d.doc_id, (d.lang = 'en') AS tgt,"
+    "    unnest(regexp_extract_all(lower(coalesce(d.text, '')),"
+    "      '[a-z0-9]+')) AS w"
+    "  FROM documents d"
+    "), tot AS ("
+    "  SELECT CAST(count(*) AS BIGINT) AS n,"
+    "    CAST(count(*) FILTER (tgt) AS BIGINT) AS nt FROM w"
+    "), vocab AS ("
+    "  SELECT w, count(*) AS c, count(*) FILTER (tgt) AS ct"
+    "  FROM w GROUP BY w ORDER BY c DESC, w LIMIT 1000"
+    "), lp AS ("
+    "  SELECT w, (CASE WHEN ct > 0"
+    "      THEN ln(ct / (SELECT nt FROM tot))"
+    "      ELSE ln(1.0 / (SELECT nt FROM tot)) END"
+    "    - ln(c / (SELECT n FROM tot))) AS r FROM vocab"
+    "), fl AS ("
+    "  SELECT ln(1.0 / (SELECT nt FROM tot))"
+    "    - ln(1.0 / (SELECT n FROM tot)) AS f"
+    "), scored AS ("
+    "  SELECT w.doc_id, avg(coalesce(lp.r, (SELECT f FROM fl))) AS s"
+    "  FROM w LEFT JOIN lp USING (w) GROUP BY w.doc_id"
+    ") SELECT d.doc_id,"
+    "  ROUND(coalesce(s, (SELECT f FROM fl)), 6) AS dsir_weight "
+    "FROM documents d LEFT JOIN scored USING (doc_id)"
+)
+
+
 DOMAIN_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 DOMAIN_MIX_DEFAULT = 0.8
 
@@ -1270,6 +1299,69 @@ def _q_dsir_weights(sf_dir: str):
     return dsir.dsir_weights(ds, "lang", "en").select_columns(
         ["doc_id", "dsir_weight"]
     )
+
+
+def _q_dsir_select(sf_dir: str):
+    """The DSIR resampling step: keep the top-100 docs by importance
+    weight (weight DESC, doc_id ASC tie-break) — partial per-block
+    top-k + tiny driver merge, never a global sort."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dsir, topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    w = dsir.dsir_weights(ds, "lang", "en")
+    return topk.topk(
+        w, sort_cols=["dsir_weight", "doc_id"], k=100, descending=[True, False]
+    ).select_columns(["doc_id", "dsir_weight"])
+
+
+def _q_quality_deciles(sf_dir: str):
+    """Global NTILE(10) curriculum buckets over the unigram LM quality
+    score (score DESC, doc_id tie-break): one range sort computes
+    ROW_NUMBER (grouped_rank under a constant key — O(blocks) boundary
+    partials), then the exact NTILE uneven-bucket formula is a
+    stateless map with the broadcast total count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import lmscore, rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scores = lmscore.unigram_logprob_scores(ds)
+    keyed = scores.map_batches(
+        lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    ranked = rank.grouped_rank(
+        keyed, ["_g"], ["lm_score", "doc_id"], rank_col="rn",
+        descending=[True, False],
+    )
+    n = ds.count()
+    k = 10
+    q, r = divmod(n, k)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["rn"].to_numpy(dtype=np.int64)
+        big = (q + 1) * r  # rows in the r buckets of size q+1
+        dec = np.where(
+            t <= big,
+            (t - 1) // max(q + 1, 1) + 1,
+            r + (t - big - 1) // max(q, 1) + 1,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "lm_score": b["lm_score"].to_numpy(),
+                "decile": dec.astype(np.int64),
+            }
+        )
+
+    return ranked.map_batches(bucket, batch_format="pandas")
 
 
 def _q_pmi_collocations(sf_dir: str):
@@ -2597,6 +2689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "resample_daily": _q_resample_daily,
         "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "quality_deciles": _q_quality_deciles,
     }
 
 
@@ -2868,32 +2962,15 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(COUNT(*) AS BIGINT) AS n "
             "FROM x WHERE prev IS NOT NULL GROUP BY 1, 2"
         ),
-        "dsir_weights": (
-            "WITH w AS ("
-            "  SELECT d.doc_id, (d.lang = 'en') AS tgt,"
-            "    unnest(regexp_extract_all(lower(coalesce(d.text, '')),"
-            "      '[a-z0-9]+')) AS w"
-            "  FROM documents d"
-            "), tot AS ("
-            "  SELECT CAST(count(*) AS BIGINT) AS n,"
-            "    CAST(count(*) FILTER (tgt) AS BIGINT) AS nt FROM w"
-            "), vocab AS ("
-            "  SELECT w, count(*) AS c, count(*) FILTER (tgt) AS ct"
-            "  FROM w GROUP BY w ORDER BY c DESC, w LIMIT 1000"
-            "), lp AS ("
-            "  SELECT w, (CASE WHEN ct > 0"
-            "      THEN ln(ct / (SELECT nt FROM tot))"
-            "      ELSE ln(1.0 / (SELECT nt FROM tot)) END"
-            "    - ln(c / (SELECT n FROM tot))) AS r FROM vocab"
-            "), fl AS ("
-            "  SELECT ln(1.0 / (SELECT nt FROM tot))"
-            "    - ln(1.0 / (SELECT n FROM tot)) AS f"
-            "), scored AS ("
-            "  SELECT w.doc_id, avg(coalesce(lp.r, (SELECT f FROM fl))) AS s"
-            "  FROM w LEFT JOIN lp USING (w) GROUP BY w.doc_id"
-            ") SELECT d.doc_id,"
-            "  ROUND(coalesce(s, (SELECT f FROM fl)), 6) AS dsir_weight "
-            "FROM documents d LEFT JOIN scored USING (doc_id)"
+        "dsir_weights": _DSIR_SQL,
+        "dsir_select": (
+            f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
+            f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "quality_deciles": (
+            f"SELECT doc_id, lm_score, CAST(NTILE(10) OVER ("
+            f"  ORDER BY lm_score DESC, doc_id) AS BIGINT) AS decile "
+            f"FROM ({_LM_SCORES_SQL})"
         ),
         "resample_daily": (
             "WITH b AS ("

@@ -206,3 +206,47 @@ def test_dsir_weights_match_reference(tmp_path):
     en_mean = out["dsir_weight"][tgt].mean()
     de_mean = out["dsir_weight"][~tgt].mean()
     assert en_mean > de_mean
+
+
+def test_quality_deciles_exact_ntile(tmp_path):
+    """Global NTILE(10) formula matches SQL semantics incl. uneven
+    buckets (n % k != 0) and is partition-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    n = 47  # uneven: 7 buckets of 5, 3 of 4
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 6))
+                for _ in range(n)
+            ],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 10,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    import __ray_entry__ as e
+
+    out = (
+        e._q_quality_deciles(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ref = (
+        con.execute(e.oracle_sql()["quality_deciles"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["decile"].to_numpy() == ref["decile"].to_numpy()).all()
+    sizes = out["decile"].value_counts()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 10
