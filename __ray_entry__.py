@@ -1301,6 +1301,22 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_weighted_sample_events(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, derandomized through the knuth hash): 200 events with
+    P(selection) proportional to value, as a pure function of the
+    table — per-block partial top-k on the -ln(u)/w order statistic,
+    no global sort. Oracle: same key formula, ORDER BY ... LIMIT."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return split.weighted_sample(ds, "event_id", "value", k=200)
+
+
 def _q_dsir_select(sf_dir: str):
     """The DSIR resampling step: keep the top-100 docs by importance
     weight (weight DESC, doc_id ASC tie-break) — partial per-block
@@ -2691,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "quality_deciles": _q_quality_deciles,
+        "weighted_sample_events": _q_weighted_sample_events,
     }
 
 
@@ -2966,6 +2983,15 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "weighted_sample_events": (
+            "WITH h AS ("
+            "  SELECT event_id, value,"
+            "    -ln(((event_id * 2654435761) % 4294967296 + 0.5)"
+            "        / 4294967296.0) / value AS k"
+            "  FROM events WHERE value > 0"
+            ") SELECT event_id, value, ROUND(k, 6) AS es_key "
+            "FROM h ORDER BY k, event_id LIMIT 200"
         ),
         "quality_deciles": (
             f"SELECT doc_id, lm_score, CAST(NTILE(10) OVER ("

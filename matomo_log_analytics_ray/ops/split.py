@@ -169,3 +169,53 @@ def epoch_shuffle(
     return ranked.map_batches(
         lambda b: b[[id_col, "shard", "pos"]], batch_format="pandas"
     )
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-Res order statistic (Inf. Proc. Letters 97(5), 2006):
+    each row draws key = -ln(u) / w and the k SMALLEST keys win —
+    P(selection) proportional to weight, exactly, in one pass.
+
+    The uniform u is derandomized through the knuth hash of the id
+    ((id * 2654435761) mod 2^32 + 0.5) / 2^32, so the sample is a pure
+    function of the table (reproducible on any cluster shape) and the
+    whole operator replays in SQL as ORDER BY -ln(u)/w LIMIT k.
+    Rows with weight <= 0 are never sampled (standard A-Res domain).
+    Per-block partial top-k + tiny driver merge — no global sort.
+
+    Returns (id_col, weight_col, es_key) for the k winners, es_key
+    rounded to 6 dp."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        keep = w > 0
+        ids = b[id_col].to_numpy()[keep]
+        h = (ids.astype(np.uint64) * KNUTH) & _M32
+        u = (h.astype(np.float64) + 0.5) / float(2**32)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                weight_col: w[keep],
+                "es_key": -np.log(u) / w[keep],
+            }
+        )
+
+    sample = topk.topk(
+        ds.map_batches(keyed, batch_format="pandas"),
+        sort_cols=["es_key", id_col],
+        k=k,
+        descending=[False, False],
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["es_key"] = b["es_key"].round(6)
+        return b
+
+    return sample.map_batches(final, batch_format="pandas")

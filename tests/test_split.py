@@ -104,3 +104,40 @@ def test_rate_sample_deterministic_and_monotone():
     small_b = set(got[got.source == "b"].doc_id)
     big_b = set(bigger[bigger.source == "b"].doc_id)
     assert small_b <= big_b
+
+
+def test_weighted_sample_proportional_and_deterministic():
+    """A-Res: selection probability tracks weight; output is a pure
+    function of the table (partition-invariant)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import split
+
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            # two weight classes, 10x apart; some zero-weight rows
+            "w": np.where(np.arange(n) % 2 == 0, 10.0, 1.0),
+        }
+    )
+    df.loc[df.index[:100], "w"] = 0.0
+    outs = []
+    for parts in (2, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (
+            split.weighted_sample(ds, "id", "w", k=2000)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert len(out) == 2000
+    assert (df.set_index("id").loc[out["id"], "w"] > 0).all()
+    heavy = (out["id"] % 2 == 0).sum()
+    # E[heavy] ~ 10/11 * 2000 = 1818; loose 5-sigma-ish band
+    assert 1700 < heavy < 1930
