@@ -1301,6 +1301,23 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_lm2_doc_scores(sf_dir: str):
+    """Interpolated BIGRAM LM quality scores (the KenLM-filter shape
+    one order up from lm_doc_scores): p(cur|prev) = 0.7 c12/c1 + 0.3
+    p_uni(cur), both models from the corpus itself; bigram mass only
+    inside the top-1000 unigram vocab (table bounded at K^2 entries
+    at ANY corpus size). Oracle replays the identical interpolation
+    over generate_series bigrams."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import lmscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lmscore.bigram_logprob_scores(ds)
+
+
 def _q_weighted_sample_events(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-Res, derandomized through the knuth hash): 200 events with
@@ -2708,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "quality_deciles": _q_quality_deciles,
         "weighted_sample_events": _q_weighted_sample_events,
+        "lm2_doc_scores": _q_lm2_doc_scores,
     }
 
 
@@ -2983,6 +3001,38 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "lm2_doc_scores": (
+            "WITH w AS ("
+            "  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),"
+            "    '[a-z0-9]+') AS ws FROM documents"
+            "), uw AS (SELECT unnest(ws) AS w FROM w"
+            "), tot AS (SELECT COUNT(*) AS n FROM uw"
+            "), vocab AS ("
+            "  SELECT w, COUNT(*) AS c FROM uw GROUP BY w"
+            "  ORDER BY c DESC, w LIMIT 1000"
+            "), big AS ("
+            "  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2"
+            "  FROM w, LATERAL (SELECT unnest(generate_series(1,"
+            "    len(ws) - 1)) AS i) t"
+            "), bc AS ("
+            "  SELECT w1, w2, COUNT(*) AS c12 FROM big"
+            "  WHERE w1 IN (SELECT w FROM vocab)"
+            "    AND w2 IN (SELECT w FROM vocab) GROUP BY 1, 2"
+            "), terms AS ("
+            "  SELECT big.doc_id,"
+            "    ln(0.7 * (CASE WHEN bc.c12 IS NOT NULL AND v1.c IS NOT NULL"
+            "        THEN bc.c12 / v1.c ELSE 0.0 END)"
+            "      + 0.3 * (CASE WHEN v2.c IS NOT NULL"
+            "        THEN v2.c / (SELECT n FROM tot)"
+            "        ELSE 1.0 / (SELECT n FROM tot) END)) AS s"
+            "  FROM big LEFT JOIN vocab v1 ON v1.w = big.w1"
+            "  LEFT JOIN vocab v2 ON v2.w = big.w2"
+            "  LEFT JOIN bc ON bc.w1 = big.w1 AND bc.w2 = big.w2"
+            "), scored AS (SELECT doc_id, avg(s) AS s FROM terms GROUP BY doc_id"
+            ") SELECT d.doc_id, ROUND(coalesce(scored.s,"
+            "  ln(0.3 / (SELECT n FROM tot))), 6) AS lm2_score "
+            "FROM documents d LEFT JOIN scored USING (doc_id)"
         ),
         "weighted_sample_events": (
             "WITH h AS ("

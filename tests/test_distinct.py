@@ -138,3 +138,58 @@ def test_unigram_lm_scores():
     pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
     scores = outs[0].set_index("doc_id")["lm_score"]
     assert scores[200] < scores[:200].min()  # gibberish scores lowest
+
+
+def test_bigram_lm_scores_reference_and_partitioning():
+    """bigram_logprob_scores == plain-python replay of the documented
+    interpolation; natural word order outscores shuffled order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import lmscore
+
+    rng = np.random.default_rng(9)
+    pats = ["the model trains", "the data flows", "a value grows"]
+    texts = [" ".join(rng.choice(pats, 4)) for _ in range(40)]
+    texts.append("")            # no words -> floor
+    texts.append("single")      # one word -> floor
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            lmscore.bigram_logprob_scores(ds, vocab_k=50, lam=0.7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("doc_id")["lm2_score"]
+
+    # reference replay
+    import re
+    from collections import Counter
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in df["text"]]
+    n = sum(len(t) for t in toks)
+    uni = Counter(w for t in toks for w in t)
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    bi = Counter(
+        (a, b) for t in toks for a, b in zip(t, t[1:])
+        if a in vocab and b in vocab
+    )
+    floor = np.log(0.3 / n)
+    for i, t in enumerate(toks):
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            assert out[i] == round(floor, 6)
+            continue
+        terms = [
+            np.log(
+                0.7 * (bi.get((a, b), 0) / vocab[a] if a in vocab else 0.0)
+                + 0.3 * (vocab.get(b, np.nan) / n if b in vocab else 1.0 / n)
+            )
+            for a, b in pairs
+        ]
+        assert abs(out[i] - np.mean(terms)) < 2e-6
