@@ -1301,6 +1301,24 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_dedup_keep_longest(sf_dir: str):
+    """Near-dup cluster removal with the keep-LONGEST policy: per
+    verified duplicate cluster keep the max-n_chars member (ties by
+    min id) instead of min id — the canonical choice when shorter
+    members are truncations. Priorities ride a hash join against the
+    small label table; the corpus never shuffles."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster, dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+    pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+    return cluster.keep_best(docs, pairs, "n_chars").select_columns(["doc_id"])
+
+
 def _q_lm2_doc_scores(sf_dir: str):
     """Interpolated BIGRAM LM quality scores (the KenLM-filter shape
     one order up from lm_doc_scores): p(cur|prev) = 0.7 c12/c1 + 0.3
@@ -2726,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles": _q_quality_deciles,
         "weighted_sample_events": _q_weighted_sample_events,
         "lm2_doc_scores": _q_lm2_doc_scores,
+        "dedup_keep_longest": _q_dedup_keep_longest,
     }
 
 
@@ -3262,6 +3281,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": oracle.jaccard_verified_pairs_sql(threshold=0.8),
         "dedup_clusters": oracle.dedup_clusters_sql(threshold=0.8),
         "dedup_keep_canonical": oracle.dedup_keep_canonical_sql(threshold=0.8),
+        "dedup_keep_longest": oracle.dedup_keep_best_sql(
+            priority_col="n_chars", threshold=0.8
+        ),
         "media_payload_stats": (
             "SELECT media_id, media_type, CAST(octet_length(payload) AS BIGINT) "
             f"AS payload_bytes FROM read_parquet('{mpath}')"

@@ -343,7 +343,99 @@ def keep_canonical(
     drop = labels.map_batches(
         lambda b: b[b["cluster_id"] < b["node"]][["node"]], batch_format="pandas"
     ).materialize()
+    return _drop_ids(docs, drop, id_col, broadcast_limit, num_partitions)
 
+
+def keep_best(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    priority_col: str,
+    id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """keep_canonical with a PRIORITY policy: per duplicate cluster
+    keep the member with the highest ``priority_col`` (ties by min
+    id) instead of blindly the min id — e.g. keep the LONGEST document
+    of a near-dup cluster (n_chars), the standard choice when shorter
+    members are truncations of the canonical page.
+
+    Scale shape: priorities are attached to the (small) label table by
+    a hash join keyed on node — the corpus never shuffles; the
+    per-cluster argmax runs through sorted_group_first on
+    (cluster_id, -priority, node) (pre-reduced edge rows, hot-cluster
+    safe); the final anti-filter is the shared broadcast / left_anti
+    tail."""
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    # repartition rebuilds the block list: sort/union stages inside
+    # connected_components / sorted_group_first can emit schema-less
+    # EMPTY blocks that map stages skip, and pyarrow's join errors
+    # with "no match for key field on right side" when one reaches a
+    # join partition (the NOTES landmine; label tables are small, so
+    # the exchange is cheap)
+    labels = connected_components(pairs, num_partitions=num_partitions).repartition(
+        num_partitions
+    )
+
+    proj = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b[id_col].to_numpy(),
+                "_prio": b[priority_col].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    lab_pr = labels.join(
+        proj, "inner", num_partitions=num_partitions, on=("node",)
+    )
+
+    from .dedup import sorted_group_first
+
+    ranked = lab_pr.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cluster_id": b["cluster_id"].to_numpy(),
+                "_negp": -b["_prio"].to_numpy(),
+                "node": b["node"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    best = sorted_group_first(ranked, ["cluster_id"], ["_negp", "node"])
+    best = best.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cluster_id": b["cluster_id"].to_numpy(),
+                "best_node": b["node"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    ).repartition(num_partitions)  # drop sort/union schema-less empties
+    drop = (
+        labels.join(
+            best, "inner", num_partitions=num_partitions, on=("cluster_id",)
+        )
+        .map_batches(
+            lambda b: b[b["node"] != b["best_node"]][["node"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    return _drop_ids(docs, drop, id_col, broadcast_limit, num_partitions)
+
+
+def _drop_ids(
+    docs: "ray.data.Dataset",
+    drop: "ray.data.Dataset",
+    id_col: str,
+    broadcast_limit: int,
+    num_partitions: int | None,
+) -> "ray.data.Dataset":
+    """Shared anti-filter tail: remove the (materialized) ``drop`` id
+    set from the corpus — broadcast searchsorted when it fits, hash
+    left_anti join beyond."""
     if drop.count() <= broadcast_limit:
         ids = np.sort(
             drop.to_pandas()["node"].to_numpy()
@@ -366,7 +458,10 @@ def keep_canonical(
     if num_partitions is None:
         num_partitions = _default_partitions()
     return docs.join(
-        drop,
+        # drop descends from sort/union stages: repartition rebuilds
+        # the block list so no schema-less empty block reaches the
+        # join aggregator (see keep_best)
+        drop.repartition(num_partitions),
         "left_anti",
         num_partitions=num_partitions,
         on=(id_col,),

@@ -350,17 +350,20 @@ def sorted_group_counts(
 
 
 def sorted_group_first(
-    rows: "ray.data.Dataset", key_cols: list[str], val_col: str
+    rows: "ray.data.Dataset", key_cols: list[str], val_col: "str | list[str]"
 ) -> "ray.data.Dataset":
     """min(val) per key for HIGH-CARDINALITY keys: sort by (key, val)
     then take the first row of each run (same interior/edge discipline
-    as sorted_group_counts)."""
-    sorted_ds = rows.sort(key_cols + [val_col])
+    as sorted_group_counts). ``val_col`` may be a list: the kept row
+    is the LEXICOGRAPHIC minimum over the value columns (e.g.
+    (-priority, id) keeps the highest-priority member, ties by id)."""
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    sorted_ds = rows.sort(key_cols + val_cols)
 
     def block_fn(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         if n == 0:
-            out = b[[*key_cols, val_col]].copy()
+            out = b[[*key_cols, *val_cols]].copy()
             out["kind"] = pd.Series([], dtype=object)
             return out
         change = np.zeros(n, dtype=bool)
@@ -372,33 +375,33 @@ def sorted_group_first(
         last = run_id[-1]
         starts = np.flatnonzero(change)
         interior = (np.arange(last + 1) != 0) & (np.arange(last + 1) != last)
-        firsts = b.iloc[starts[interior]][[*key_cols, val_col]].copy()
+        firsts = b.iloc[starts[interior]][[*key_cols, *val_cols]].copy()
         firsts["kind"] = "done"
         # edge pre-reduction: the block is sorted by (key, val), so the
         # first row of each edge run already carries that key's min val
         # within this block — forward just those (<= 2 rows per block)
         edge_runs = [0] if last == 0 else [0, last]
-        edges = b.iloc[[starts[r] for r in edge_runs]][[*key_cols, val_col]].copy()
+        edges = b.iloc[[starts[r] for r in edge_runs]][[*key_cols, *val_cols]].copy()
         edges["kind"] = "edge"
         return pd.concat([firsts, edges], ignore_index=True)
 
     tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
     done = tagged.map_batches(
-        lambda b: b[b["kind"] == "done"][[*key_cols, val_col]], batch_format="pandas"
+        lambda b: b[b["kind"] == "done"][[*key_cols, *val_cols]], batch_format="pandas"
     )
 
     def edge_first(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return b[[*key_cols, val_col]].copy()
+            return b[[*key_cols, *val_cols]].copy()
         return (
-            b.sort_values([*key_cols, val_col])
+            b.sort_values([*key_cols, *val_cols])
             .groupby(key_cols, as_index=False, sort=False)
-            .first()[[*key_cols, val_col]]
+            .first()[[*key_cols, *val_cols]]
         )
 
     edges = (
         tagged.map_batches(
-            lambda b: b[b["kind"] == "edge"][[*key_cols, val_col]],
+            lambda b: b[b["kind"] == "edge"][[*key_cols, *val_cols]],
             batch_format="pandas",
         )
         .repartition(1)

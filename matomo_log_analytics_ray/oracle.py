@@ -696,6 +696,37 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE cluster_id < node)"""
 
 
+def dedup_keep_best_sql(
+    priority_col: str = "n_chars", threshold: float = 0.8, k: int = 3
+) -> str:
+    """Doc ids surviving duplicate clustering under the keep-BEST
+    policy: per cluster the max-priority member (ties by min id), plus
+    every unpaired doc."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes(threshold, k)},
+e AS (
+    SELECT id_a AS u, id_b AS v FROM vp
+    UNION SELECT id_b, id_a FROM vp
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+),
+cc AS (SELECT u AS node, min(r) AS cluster_id FROM reach GROUP BY u),
+pr AS (
+    SELECT cc.node, cc.cluster_id, d.{priority_col} AS prio
+    FROM cc JOIN documents d ON d.doc_id = cc.node
+),
+rk AS (
+    SELECT node, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY prio DESC, node) AS rn
+    FROM pr
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM rk WHERE rn > 1)"""
+
+
 def transcripts_source(parquet_path: str) -> str:
     return f"SELECT * FROM read_parquet('{parquet_path}')"
 

@@ -83,3 +83,36 @@ def test_empty_pairs():
     docs = ray.data.from_pandas(pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64)}))
     kept = sorted(cluster.keep_canonical(docs, empty).to_pandas()["doc_id"])
     assert kept == [0, 1, 2, 3, 4]
+
+
+def test_keep_best_prefers_high_priority_member():
+    """keep_best keeps the max-priority member of each cluster (ties
+    by min id); unpaired docs always survive. Both anti-filter paths
+    (broadcast and left_anti join) agree."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import cluster
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "prio": np.array([1, 9, 5, 7, 7, 2], dtype=np.int64),
+        }
+    )
+    # clusters {0,1,2} (best: 1) and {3,4} (tie at 7 -> min id 3); 5 unpaired
+    pairs = pd.DataFrame(
+        {"id_a": np.array([0, 1, 3], dtype=np.int64),
+         "id_b": np.array([1, 2, 4], dtype=np.int64)}
+    )
+    dds = ray.data.from_pandas(docs).repartition(2)
+    pds = ray.data.from_pandas(pairs)
+    for limit in (10**6, 0):
+        kept = (
+            cluster.keep_best(dds, pds, "prio", broadcast_limit=limit)
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        assert kept == [1, 3, 5], kept
