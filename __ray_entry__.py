@@ -1301,6 +1301,21 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_domain_kl(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram mix over the
+    top-1000 vocab — the domain-reweighting diagnostic. One sorted-run
+    shuffle of pre-reduced (word, source) count projections; output is
+    |sources| rows."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return textstats.domain_kl_divergence(ds, group_col="source")
+
+
 def _q_dedup_keep_longest(sf_dir: str):
     """Near-dup cluster removal with the keep-LONGEST policy: per
     verified duplicate cluster keep the max-n_chars member (ties by
@@ -2745,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_events": _q_weighted_sample_events,
         "lm2_doc_scores": _q_lm2_doc_scores,
         "dedup_keep_longest": _q_dedup_keep_longest,
+        "domain_kl": _q_domain_kl,
     }
 
 
@@ -3020,6 +3036,25 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "domain_kl": (
+            "WITH uw AS ("
+            "  SELECT source, unnest(regexp_extract_all("
+            "    lower(coalesce(text, '')), '[a-z0-9]+')) AS w"
+            "  FROM documents"
+            "), tot AS (SELECT COUNT(*) AS n FROM uw"
+            "), vocab AS ("
+            "  SELECT w, COUNT(*) AS c FROM uw GROUP BY w"
+            "  ORDER BY c DESC, w LIMIT 1000"
+            "), wg AS ("
+            "  SELECT source, w, COUNT(*) AS c_wg FROM uw GROUP BY 1, 2"
+            "), ng AS (SELECT source, SUM(c_wg) AS n_g FROM wg GROUP BY 1"
+            ") SELECT wg.source, ROUND(SUM("
+            "  (wg.c_wg / ng.n_g) * ln((wg.c_wg / ng.n_g)"
+            "    / (v.c / (SELECT n FROM tot)))), 6) AS kl "
+            "FROM wg JOIN vocab v ON v.w = wg.w"
+            " JOIN ng ON ng.source = wg.source "
+            "GROUP BY wg.source"
         ),
         "lm2_doc_scores": (
             "WITH w AS ("

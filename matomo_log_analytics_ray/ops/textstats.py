@@ -382,3 +382,111 @@ def tfidf_top_terms(
     return _topk.grouped_topk(
         scored, [id_col], ["tfidf", "word"], k=k, descending=[True, False]
     )
+
+
+def domain_kl_divergence(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 1000,
+) -> pd.DataFrame:
+    """(group, kl): KL(p_group || p_corpus) over the top-K corpus
+    vocabulary — how far each domain's unigram distribution sits from
+    the corpus mix, the domain-reweighting diagnostic a pretraining
+    mixer reads before setting sampling rates.
+
+        KL = sum over vocab words w with c_g(w) > 0 of
+             (c_g(w)/N_g) * ln( (c_g(w)/N_g) / (c(w)/N) )
+
+    (p_group normalized over ALL the group's tokens; the sum restricted
+    to corpus-vocab words the group actually uses — deterministic and
+    SQL-replayable.)
+
+    Scale shape: ONE sorted-run shuffle over (word, group) count
+    projections (high-cardinality safe, pre-reduced per batch);
+    corpus-level word totals fold from the (word, group) table by a
+    second sorted-run sum keyed on word; group token totals are a
+    bounded groupby; the vocab cut is a partial top-k. Output is
+    |groups| rows."""
+    from . import topk as _topk
+    from .dedup import sorted_group_counts
+    from .groupagg import sorted_group_sum
+    import ray as _ray
+
+    # (word, group) counts — pre-reduced per batch, then sorted runs
+    def wg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = explode_words(b[text_col])
+        grp = np.repeat(b[group_col].to_numpy(), counts)
+        out = pd.DataFrame({"word": flat, "grp": grp})
+        g = out.groupby(["word", "grp"], as_index=False).size()
+        g["n"] = g["size"].astype("float64")
+        return g[["word", "grp", "n"]]
+
+    wg = sorted_group_sum(
+        ds.map_batches(wg_rows, batch_format="pandas"), ["word", "grp"], "n",
+        alias="c_wg",
+    ).materialize()
+
+    # corpus word totals from the (word, group) table
+    wtot = sorted_group_sum(wg, ["word"], "c_wg", alias="c_w")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["c_w"] = b["c_w"].astype("int64")
+        return b
+
+    vocab = _topk.topk(
+        wtot.map_batches(cast, batch_format="pandas"),
+        sort_cols=["c_w", "word"],
+        k=vocab_k,
+        descending=[True, False],
+    ).to_pandas()
+    n_total = float(
+        wg.map_batches(
+            lambda b: pd.DataFrame({"s": [b["c_wg"].sum()]}),
+            batch_format="pandas",
+        ).to_pandas()["s"].sum()
+    )
+    if n_total == 0:
+        return pd.DataFrame({group_col: [], "kl": []})
+    vocab_ref = _ray.put(
+        {w: float(c) for w, c in zip(vocab["word"], vocab["c_w"])}
+    )
+
+    # group token totals (bounded cardinality)
+    ng = (
+        wg.map_batches(
+            lambda b: b.groupby("grp", as_index=False)["c_wg"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("grp")["c_wg"].sum()
+    )
+    ng_ref = _ray.put(ng.to_dict())
+
+    # per-(word, group) KL terms -> bounded per-group sums
+    def terms(b: pd.DataFrame) -> pd.DataFrame:
+        voc = _ray.get(vocab_ref)
+        ngs = _ray.get(ng_ref)
+        cw = b["word"].map(voc).to_numpy(dtype=np.float64)
+        in_vocab = ~np.isnan(cw)
+        b = b[in_vocab]
+        if len(b) == 0:
+            return pd.DataFrame({"grp": [], "t": []})
+        cw = cw[in_vocab]
+        n_g = b["grp"].map(ngs).to_numpy(dtype=np.float64)
+        p_g = b["c_wg"].to_numpy(dtype=np.float64) / n_g
+        p_c = cw / n_total
+        t = p_g * np.log(p_g / p_c)
+        return (
+            pd.DataFrame({"grp": b["grp"].to_numpy(), "t": t})
+            .groupby("grp", as_index=False)["t"].sum()
+        )
+
+    out = (
+        wg.map_batches(terms, batch_format="pandas")
+        .to_pandas()
+        .groupby("grp", as_index=False)["t"].sum()
+    )
+    out = out.rename(columns={"grp": group_col, "t": "kl"})
+    out["kl"] = out["kl"].round(6)
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -193,3 +193,40 @@ def test_bigram_lm_scores_reference_and_partitioning():
             for a, b in pairs
         ]
         assert abs(out[i] - np.mean(terms)) < 2e-6
+
+
+def test_domain_kl_zero_for_identical_distribution():
+    """A group with the exact corpus distribution has KL ~ 0; a skewed
+    group is strictly positive. Partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    # two groups, identical text multiset -> corpus mix == each group mix
+    same = ["alpha beta gamma", "beta gamma delta"] * 10
+    df_same = pd.DataFrame(
+        {"source": ["a"] * 20 + ["b"] * 20, "text": same + same}
+    )
+    out = textstats.domain_kl_divergence(
+        ray.data.from_pandas(df_same).repartition(3), group_col="source"
+    )
+    assert np.allclose(out["kl"].to_numpy(), 0.0, atol=1e-9)
+
+    df_skew = pd.DataFrame(
+        {
+            "source": ["a"] * 20 + ["b"] * 20,
+            "text": ["alpha alpha alpha"] * 20 + ["beta gamma delta"] * 20,
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        outs.append(
+            textstats.domain_kl_divergence(
+                ray.data.from_pandas(df_skew).repartition(parts),
+                group_col="source",
+            )
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["kl"] > 0.1).all()
