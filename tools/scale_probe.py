@@ -198,6 +198,19 @@ def main_text() -> None:
     timed("pmi_collocations", lambda: colloc.pmi_collocations(
         rd(), min_count=5))
 
+    from matomo_log_analytics_ray.ops import lmscore
+
+    timed("bigram_lm_scores", lambda: lmscore.bigram_logprob_scores(rd()))
+
+    def with_src():
+        return rd().map_batches(
+            lambda b: b.assign(source="src" + (b["doc_id"] % 20).astype(str)),
+            batch_format="pandas",
+        )
+
+    timed("domain_kl", lambda: textstats.domain_kl_divergence(
+        with_src(), group_col="source"))
+
     print(json.dumps({"n_docs": TEXT_DOCS, "num_cpus": 32, "results": results}))
     ray.shutdown()
 
