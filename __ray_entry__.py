@@ -1301,6 +1301,33 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Ingestion-time exact dedup: treat doc_id % 5 == 0 as the NEW
+    batch and the rest as the already-ingested corpus; keep new ids
+    whose content key is unseen in the corpus AND min-id within the
+    batch. Keyed on the normalized two-word prefix key (full texts in
+    the driver tables are unique — same rationale as
+    dedup_group_sizes) so BOTH drop paths really fire (47/100 new
+    docs survive at sf0.01). Only (hash, id) projections move — the
+    corpus never re-shuffles."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    new = docs.map_batches(
+        lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas"
+    )
+    corpus = docs.map_batches(
+        lambda b: b[b["doc_id"] % 5 != 0], batch_format="pandas"
+    )
+    return dedup.incremental_dedup_keep_ids(
+        new, corpus, normalize=dedup.prefix_key(2)
+    )
+
+
 def _q_domain_kl(sf_dir: str):
     """Per-source KL divergence from the corpus unigram mix over the
     top-1000 vocab — the domain-reweighting diagnostic. One sorted-run
@@ -2761,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm2_doc_scores": _q_lm2_doc_scores,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "domain_kl": _q_domain_kl,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -3036,6 +3064,17 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "dedup_incremental": (
+            "WITH k AS (SELECT doc_id, array_to_string(list_slice("
+            "  string_split(coalesce(text, ''), ' '), 1, 2), ' ') AS ck"
+            "  FROM documents"
+            ") SELECT n.doc_id FROM k n WHERE n.doc_id % 5 = 0"
+            " AND NOT EXISTS ("
+            "  SELECT 1 FROM k c WHERE c.doc_id % 5 != 0 AND c.ck = n.ck)"
+            " AND NOT EXISTS ("
+            "  SELECT 1 FROM k m WHERE m.doc_id % 5 = 0"
+            "  AND m.ck = n.ck AND m.doc_id < n.doc_id)"
         ),
         "domain_kl": (
             "WITH uw AS ("

@@ -60,6 +60,18 @@ def _content_hash_batch(id_col: str, text_col: str, normalize=None):
     return fn
 
 
+def prefix_key(n_words: int):
+    """Normalizer factory: the document's first ``n_words`` whitespace
+    tokens joined by single spaces (docs with fewer words keep what
+    they have) — SQL twin: array_to_string(list_slice(string_split(
+    text, ' '), 1, n), ' ')."""
+
+    def norm(text: pd.Series) -> pd.Series:
+        return text.fillna("").str.split(" ").str[:n_words].str.join(" ")
+
+    return norm
+
+
 def first_token_key(text: pd.Series) -> pd.Series:
     """Normalizer for key-based exact dedup: the document's first
     whitespace token (a cheap stand-in for a canonicalized content key
@@ -781,3 +793,55 @@ def ngram_jaccard_verify(
     out["jaccard"] = jac
     out["is_dup"] = out["jaccard"] >= threshold
     return out
+
+
+def incremental_dedup_keep_ids(
+    new_docs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    normalize=None,
+) -> "ray.data.Dataset":
+    """Ingestion-time exact dedup: ids of NEW documents that survive
+    against an EXISTING corpus — the shape a production pipeline runs
+    every batch (dedup the increment, never re-shuffle the corpus it
+    already ingested).
+
+    A new doc is kept iff (a) its content hash does not occur in the
+    corpus and (b) it is the min-id holder of its hash within the new
+    batch. Only (hash, id) projections of BOTH sides move: the within-
+    batch winner comes from the sorted-run min (exact_dedup_keep_ids
+    machinery) and the corpus check is a hash left_anti join keyed on
+    the 64-bit content hash — corpus text never leaves its blocks."""
+    new_rows = new_docs.map_batches(
+        _content_hash_batch(id_col, text_col, normalize), batch_format="pandas"
+    )
+    corpus_hashes = (
+        corpus.map_batches(
+            lambda b, _f=_content_hash_batch(id_col, text_col, normalize): _f(b)[
+                ["content_hash"]
+            ],
+            batch_format="pandas",
+        )
+        # batch-local dedup before the shuffle: at most one row per
+        # distinct hash per block reaches the join
+        .map_batches(
+            lambda b: b.drop_duplicates("content_hash"), batch_format="pandas"
+        )
+    )
+    winners = sorted_group_first(new_rows, ["content_hash"], id_col)
+    return (
+        winners.repartition(num_partitions)  # sort/union empties (NOTES)
+        .join(
+            corpus_hashes.map_batches(
+                lambda b: b.rename(columns={"content_hash": "seen_hash"}),
+                batch_format="pandas",
+            ).repartition(num_partitions),
+            "left_anti",
+            num_partitions=num_partitions,
+            on=("content_hash",),
+            right_on=("seen_hash",),
+        )
+        .select_columns([id_col])
+    )

@@ -214,3 +214,40 @@ def test_lsh_jaccard_verified_pipeline_matches_driver_verify():
     assert got["id_a"].tolist() == want["id_a"].tolist()
     assert got["id_b"].tolist() == want["id_b"].tolist()
     assert (got["jaccard"].round(9) == want["jaccard"].round(9)).all()
+
+
+def test_incremental_dedup_both_drop_paths():
+    """New ids drop when (a) key seen in corpus or (b) a smaller new
+    id shares the key; survivors are exactly the fresh-key min-ids."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import dedup
+
+    corpus = pd.DataFrame(
+        {"doc_id": np.array([1, 2], dtype=np.int64),
+         "text": ["seen one", "other text"]}
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11, 12, 13], dtype=np.int64),
+            "text": [
+                "seen one again",   # key "seen one" -> in corpus, drop
+                "fresh pair a",     # key "fresh pair" -> keep (min id)
+                "fresh pair b",     # same key, larger id -> drop
+                "brand new doc",    # keep
+            ],
+        }
+    )
+    kept = (
+        dedup.incremental_dedup_keep_ids(
+            ray.data.from_pandas(new).repartition(2),
+            ray.data.from_pandas(corpus),
+            normalize=dedup.prefix_key(2),
+        )
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert kept == [11, 13], kept
