@@ -84,7 +84,12 @@ def prepare_training_data(
         surviving = docs.map_batches(keep_filter, batch_format="pandas")
     else:
         surviving = docs.join(
-            keep, "inner", num_partitions=num_partitions,
+            # keep descends from sorted_group_first's sort/union, which
+            # can emit schema-less EMPTY blocks that poison the join
+            # aggregator (ops/cluster.py keep_best); repartition
+            # rebuilds the block list — the keep table is ids only
+            keep.repartition(num_partitions),
+            "inner", num_partitions=num_partitions,
             on=("doc_id",), right_on=("doc_id",),
         )
 
