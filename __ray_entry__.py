@@ -1678,6 +1678,48 @@ def _q_rank_user_events(sf_dir: str):
     ).select_columns(["event_id", "user_id", "rnk"])
 
 
+def _q_percent_rank_events(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over (value, event_id): two
+    grouped_rank passes (ascending + descending) give rank and group
+    size as r_asc + r_desc - 1 without a separate size aggregate; a
+    hash join on event_id pairs the projections (ids + ranks only —
+    never raw rows). Composite sort keys are unique, so ROW_NUMBER ==
+    RANK and both window functions replay exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank
+    from matomo_log_analytics_ray.ops import default_join_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    np_join = default_join_partitions()
+    r1 = rank.grouped_rank(
+        ds, ["user_id"], ["value", "event_id"], rank_col="r_asc"
+    ).select_columns(["event_id", "r_asc"]).repartition(np_join)
+    r2 = rank.grouped_rank(
+        ds, ["user_id"], ["value", "event_id"], rank_col="r_desc",
+        descending=True,
+    ).select_columns(["event_id", "r_desc"]).repartition(np_join)
+    j = r1.join(r2, "inner", num_partitions=np_join, on=("event_id",))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        ra = b["r_asc"].to_numpy(dtype=np.float64)
+        n = ra + b["r_desc"].to_numpy(dtype=np.float64) - 1.0
+        pct = np.where(n > 1, (ra - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "pct_rank": np.round(pct, 6),
+                "cume_dist": np.round(ra / n, 6),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Per-day distinct active users — tumbling window composed with
     the exact distinct-count operator (stateless bucket projection,
@@ -2789,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": _q_dedup_keep_longest,
         "domain_kl": _q_domain_kl,
         "dedup_incremental": _q_dedup_incremental,
+        "percent_rank_events": _q_percent_rank_events,
     }
 
 
@@ -3064,6 +3107,13 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "percent_rank_events": (
+            "SELECT event_id,"
+            " ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,"
+            " ROUND(CUME_DIST() OVER w, 6) AS cume_dist"
+            " FROM events WINDOW w AS ("
+            "  PARTITION BY user_id ORDER BY value, event_id)"
         ),
         "dedup_incremental": (
             "WITH k AS (SELECT doc_id, array_to_string(list_slice("

@@ -113,3 +113,44 @@ def test_lag_and_rolling_match_pandas():
         ).to_pandas()
         for rid, rv in zip(got_roll["rid"], got_roll["rolling_mean"]):
             assert abs(rv - roll_map[rid]) < 1e-6
+
+
+def test_percent_rank_composition_matches_pandas(tmp_path):
+    """The two-pass r_asc + r_desc - 1 group-size trick == pandas
+    groupby rank/size replay, including single-row groups (pct 0)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    n = 500
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.concatenate(
+                [rng.integers(0, 30, n - 1), np.array([999])]  # singleton
+            ),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+            "event_type": "a",
+            "props": '{"k": 1}',
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    import __ray_entry__ as e
+
+    out = (
+        e._q_percent_rank_events(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    s = ev.sort_values(["user_id", "value", "event_id"]).copy()
+    s["r"] = s.groupby("user_id").cumcount() + 1
+    s["n"] = s.groupby("user_id")["event_id"].transform("size")
+    s["pct_rank"] = np.where(
+        s["n"] > 1, (s["r"] - 1) / (s["n"] - 1), 0.0
+    ).round(6)
+    s["cume_dist"] = (s["r"] / s["n"]).round(6)
+    ref = s.sort_values("event_id")[["event_id", "pct_rank", "cume_dist"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
