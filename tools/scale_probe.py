@@ -211,6 +211,23 @@ def main_text() -> None:
     timed("domain_kl", lambda: textstats.domain_kl_divergence(
         with_src(), group_col="source"))
 
+    def keep_best_longest():
+        docs = rd().map_batches(
+            lambda b: b.assign(n_chars=b["text"].str.len().astype("int64")),
+            batch_format="pandas",
+        )
+        cand = dedup.minhash_lsh_candidates(docs, max_bucket=4096)
+        pairs = dedup.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+        return cluster.keep_best(docs, pairs, "n_chars")
+
+    timed("keep_best_longest", keep_best_longest)
+
+    timed("incremental_dedup_20pct_new", lambda: dedup.incremental_dedup_keep_ids(
+        rd().map_batches(lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas"),
+        rd().map_batches(lambda b: b[b["doc_id"] % 5 != 0], batch_format="pandas"),
+        normalize=dedup.prefix_key(2),
+    ))
+
     print(json.dumps({"n_docs": TEXT_DOCS, "num_cpus": 32, "results": results}))
     ray.shutdown()
 
