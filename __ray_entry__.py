@@ -1301,6 +1301,20 @@ def _q_dsir_weights(sf_dir: str):
     )
 
 
+def _q_mi_terms(sf_dir: str):
+    """Top-50 vocabulary words by mutual information with the lang
+    label — MI feature selection for a lightweight label router. Same
+    single (word, label) sorted-run shuffle as domain_kl."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return textstats.mutual_information_terms(ds, label_col="lang")
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Ingestion-time exact dedup: treat doc_id % 5 == 0 as the NEW
     batch and the rest as the already-ingested corpus; keep new ids
@@ -2832,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_kl": _q_domain_kl,
         "dedup_incremental": _q_dedup_incremental,
         "percent_rank_events": _q_percent_rank_events,
+        "mi_terms": _q_mi_terms,
     }
 
 
@@ -3107,6 +3122,26 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "mi_terms": (
+            "WITH uw AS ("
+            "  SELECT lang, unnest(regexp_extract_all("
+            "    lower(coalesce(text, '')), '[a-z0-9]+')) AS w"
+            "  FROM documents"
+            "), tot AS (SELECT COUNT(*) AS n FROM uw"
+            "), vocab AS ("
+            "  SELECT w, COUNT(*) AS c FROM uw GROUP BY w"
+            "  ORDER BY c DESC, w LIMIT 1000"
+            "), wl AS (SELECT w, lang, COUNT(*) AS c_wl FROM uw GROUP BY 1, 2"
+            "), lt AS (SELECT lang, COUNT(*) AS c_l FROM uw GROUP BY 1"
+            "), mi AS ("
+            "  SELECT wl.w AS word, ROUND(SUM("
+            "    (wl.c_wl / t.n) * ln((wl.c_wl / t.n)"
+            "      / ((v.c / t.n) * (lt.c_l / t.n)))), 6) AS mi"
+            "  FROM wl JOIN vocab v ON v.w = wl.w"
+            "  JOIN lt ON lt.lang = wl.lang CROSS JOIN tot t"
+            "  GROUP BY wl.w"
+            ") SELECT word, mi FROM mi ORDER BY mi DESC, word LIMIT 50"
         ),
         "percent_rank_events": (
             "SELECT event_id,"

@@ -490,3 +490,107 @@ def domain_kl_divergence(
     out = out.rename(columns={"grp": group_col, "t": "kl"})
     out["kl"] = out["kl"].round(6)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def mutual_information_terms(
+    ds: "ray.data.Dataset",
+    label_col: str = "lang",
+    text_col: str = "text",
+    vocab_k: int = 1000,
+    top_m: int = 50,
+) -> pd.DataFrame:
+    """(word, mi): the top-M vocabulary words by mutual information
+    with a document label — MI-based feature selection, the classic
+    pick-the-discriminative-terms pass before training a lightweight
+    label classifier (language ID, domain router).
+
+        MI(w) = sum over labels l with c(w,l) > 0 of
+                p(w,l) * ln( p(w,l) / (p(w) * p(l)) )
+
+    with all probabilities over the corpus token count. Restricted to
+    the top-K corpus vocabulary; winners ordered by (mi rounded to
+    6 dp DESC, word) so the cut is deterministic and SQL-replayable.
+
+    Scale shape: the same ONE sorted-run (word, label) shuffle as
+    domain_kl_divergence; after the vocab cut at most K x |labels|
+    term rows fold on the driver."""
+    from . import topk as _topk
+    from .groupagg import sorted_group_sum
+    import ray as _ray
+
+    def wl_rows(b: pd.DataFrame) -> pd.DataFrame:
+        flat, counts = explode_words(b[text_col])
+        lab = np.repeat(b[label_col].to_numpy(), counts)
+        out = pd.DataFrame({"word": flat, "lab": lab})
+        g = out.groupby(["word", "lab"], as_index=False).size()
+        g["n"] = g["size"].astype("float64")
+        return g[["word", "lab", "n"]]
+
+    wl = sorted_group_sum(
+        ds.map_batches(wl_rows, batch_format="pandas"), ["word", "lab"], "n",
+        alias="c_wl",
+    ).materialize()
+
+    wtot = sorted_group_sum(wl, ["word"], "c_wl", alias="c_w")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["c_w"] = b["c_w"].astype("int64")
+        return b
+
+    vocab = _topk.topk(
+        wtot.map_batches(cast, batch_format="pandas"),
+        sort_cols=["c_w", "word"],
+        k=vocab_k,
+        descending=[True, False],
+    ).to_pandas()
+    n_total = float(
+        wl.map_batches(
+            lambda b: pd.DataFrame({"s": [b["c_wl"].sum()]}),
+            batch_format="pandas",
+        ).to_pandas()["s"].sum()
+    )
+    if n_total == 0:
+        return pd.DataFrame({"word": [], "mi": []})
+    lt = (
+        wl.map_batches(
+            lambda b: b.groupby("lab", as_index=False)["c_wl"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("lab")["c_wl"].sum()
+        .to_dict()
+    )
+    vocab_ref = _ray.put(
+        {w: float(c) for w, c in zip(vocab["word"], vocab["c_w"])}
+    )
+    lt_ref = _ray.put(lt)
+
+    def terms(b: pd.DataFrame) -> pd.DataFrame:
+        voc = _ray.get(vocab_ref)
+        lts = _ray.get(lt_ref)
+        cw = b["word"].map(voc).to_numpy(dtype=np.float64)
+        keep = ~np.isnan(cw)
+        b = b[keep]
+        if len(b) == 0:
+            return pd.DataFrame({"word": [], "t": []})
+        cw = cw[keep]
+        cl = b["lab"].map(lts).to_numpy(dtype=np.float64)
+        p_wl = b["c_wl"].to_numpy(dtype=np.float64) / n_total
+        t = p_wl * np.log(p_wl / ((cw / n_total) * (cl / n_total)))
+        return (
+            pd.DataFrame({"word": b["word"].to_numpy(), "t": t})
+            .groupby("word", as_index=False)["t"].sum()
+        )
+
+    out = (
+        wl.map_batches(terms, batch_format="pandas")
+        .to_pandas()
+        .groupby("word", as_index=False)["t"].sum()
+        .rename(columns={"t": "mi"})
+    )
+    out["mi"] = out["mi"].round(6)
+    return (
+        out.sort_values(["mi", "word"], ascending=[False, True])
+        .head(top_m)
+        .reset_index(drop=True)
+    )

@@ -230,3 +230,31 @@ def test_domain_kl_zero_for_identical_distribution():
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert (outs[0]["kl"] > 0.1).all()
+
+
+def test_mutual_information_ranks_label_exclusive_words_first():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en"] * 20 + ["de"] * 20,
+            # 'shared' carries no label signal; exclusives carry max
+            "text": ["hello shared world"] * 20 + ["hallo shared welt"] * 20,
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        outs.append(
+            textstats.mutual_information_terms(
+                ray.data.from_pandas(df).repartition(parts),
+                label_col="lang", top_m=10,
+            )
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0].set_index("word")["mi"]
+    assert out["hello"] > out["shared"] and out["hallo"] > out["shared"]
+    assert abs(out["shared"]) < 1e-9  # no signal -> MI ~ 0
