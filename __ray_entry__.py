@@ -1519,6 +1519,119 @@ def _q_rollup_event_day(sf_dir: str):
     return out[["event_type", "day", "n"]]
 
 
+def _q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped SIX-table join: revenue per ASIA nation from
+    orders in 1996 where customer and supplier share the nation.
+    Region -> nation -> customer / supplier collapse to two broadcast
+    dictionaries (key -> nationkey, the dims are the small sides);
+    lineitem pre-tags supplier nation and pre-aggregates fixed-point
+    revenue per (orderkey, nation) INSIDE the scan; the single hash
+    join pairs that against date-filtered orders tagged with customer
+    nation; the same-nation filter and the bounded per-nation sum run
+    on the join output. One shuffle total — the fact tables never
+    move twice."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops import default_join_partitions
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    rkey = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rkey]
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nkeys = set(nat["n_nationkey"].tolist())
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nkeys)]
+    cref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nkeys)]
+    sref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+        cd = ray.get(cref)
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        cnat = b["o_custkey"].map(cd)
+        b = b[cnat.notna()]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "cnat": cnat[cnat.notna()].to_numpy(dtype=np.int64),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_side, batch_format="pandas")
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sd = ray.get(sref)
+        snat = b["l_suppkey"].map(sd)
+        b = b[snat.notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "snat": pd.Series([], dtype="int64"),
+                    "rev": pd.Series([], dtype="float64"),
+                }
+            )
+        # fixed-point integer 1/10000ths (the q3 rule): exact sums
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100.0)
+        disc = np.round(b["l_discount"].to_numpy() * 100.0)
+        out = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "snat": snat[snat.notna()].to_numpy(dtype=np.int64),
+                "rev": cents * (100.0 - disc),
+            }
+        )
+        return out.groupby(["l_orderkey", "snat"], as_index=False)["rev"].sum()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+
+    np_join = default_join_partitions()
+    j = li.repartition(np_join).join(
+        orders.repartition(np_join),
+        "inner",
+        num_partitions=np_join,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["snat"] == b["cnat"]]
+        return b[["snat", "rev"]]
+
+    folded = (
+        j.map_batches(same_nation, batch_format="pandas")
+        .groupby("snat")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    folded["n_name"] = folded["snat"].map(nat_names)
+    folded["revenue"] = (folded["rev"] / 10000.0).round(2)
+    return (
+        folded[["n_name", "revenue"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
 def _q_q3_shipping_revenue(sf_dir: str):
     """TPC-H Q3-shaped 3-table star query: BUILDING customers
     (broadcast semi-filter pushed into the orders scan) x date-filtered
@@ -2847,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "percent_rank_events": _q_percent_rank_events,
         "mi_terms": _q_mi_terms,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
     }
 
 
@@ -3122,6 +3236,18 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": (
             f"SELECT doc_id, dsir_weight FROM ({_DSIR_SQL}) "
             f"ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, ROUND(SUM(ROUND(l_extendedprice * 100)"
+            "  * (100 - ROUND(l_discount * 100))) / 10000.0, 2) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+            " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+            " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+            " AND r_name = 'ASIA'"
+            " AND o_orderdate >= DATE '1996-01-01'"
+            " AND o_orderdate < DATE '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "mi_terms": (
             "WITH uw AS ("
