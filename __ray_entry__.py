@@ -2820,6 +2820,58 @@ def _q_outlier_events(sf_dir: str):
     return ds.map_batches(flag, batch_format="pandas")
 
 
+_FUNNEL_WINDOW_US = 12 * 3600 * 1_000_000  # 12h step-to-step window
+_DEBOUNCE_GAP_US = 6 * 3600 * 1_000_000  # 6h repeat-suppression gap
+
+
+def _q_funnel_signup_purchase(sf_dir: str):
+    """Windowed conversion funnel signup -> click -> purchase (each
+    step's first event strictly after the previous conversion and
+    within 12h of it). K staged semi-joins over (user_id, ts)
+    projections + sorted-run MIN per stage; the driver holds K
+    integers (ops/funnel.funnel_counts)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel.funnel_counts(
+        ev, ["signup", "click", "purchase"], within_us=_FUNNEL_WINDOW_US
+    )
+
+
+def _q_cohort_retention(sf_dir: str):
+    """First-seen-day cohort retention triangle: distinct (user, day)
+    pairs via sorted-run counting, per-user MIN day, one hash join,
+    low-cardinality partial-count aggregate
+    (ops/funnel.cohort_retention)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return funnel.cohort_retention(ev, max_offset=30)
+
+
+def _q_debounce_events(sf_dir: str):
+    """Repeat-suppression: drop events < 6h after the previous event of
+    the same (user, type) — LAG over the two-pass sorted window
+    machinery, vectorized gap filter (ops/funnel.debounce)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return funnel.debounce(ev, gap_us=_DEBOUNCE_GAP_US)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -2961,6 +3013,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_events": _q_percent_rank_events,
         "mi_terms": _q_mi_terms,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "funnel_signup_purchase": _q_funnel_signup_purchase,
+        "cohort_retention": _q_cohort_retention,
+        "debounce_events": _q_debounce_events,
     }
 
 
@@ -3666,5 +3721,40 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
             "ROUND(SUM(l_extendedprice), 2) AS sum_price, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "funnel_signup_purchase": (
+            f"WITH s0 AS (SELECT user_id, MIN(ts) t FROM events"
+            f" WHERE event_type = 'signup' GROUP BY 1),"
+            f" s1 AS (SELECT e.user_id, MIN(e.ts) t FROM events e"
+            f" JOIN s0 USING (user_id) WHERE e.event_type = 'click'"
+            f" AND e.ts > s0.t"
+            f" AND date_diff('microsecond', s0.t, e.ts) <= {_FUNNEL_WINDOW_US}"
+            f" GROUP BY 1),"
+            f" s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e"
+            f" JOIN s1 USING (user_id) WHERE e.event_type = 'purchase'"
+            f" AND e.ts > s1.t"
+            f" AND date_diff('microsecond', s1.t, e.ts) <= {_FUNNEL_WINDOW_US}"
+            f" GROUP BY 1)"
+            f" SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx,"
+            f" (SELECT COUNT(*) FROM s0) AS users"
+            f" UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM s1)"
+            f" UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM s2)"
+        ),
+        "cohort_retention": (
+            "WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),"
+            " f AS (SELECT user_id, MIN(d) cd FROM p GROUP BY 1)"
+            " SELECT strftime(f.cd, '%Y-%m-%d') AS cohort_day,"
+            " CAST(date_diff('day', f.cd, p.d) AS BIGINT) AS day_offset,"
+            " CAST(COUNT(*) AS BIGINT) AS users"
+            " FROM p JOIN f USING (user_id)"
+            " WHERE date_diff('day', f.cd, p.d) <= 30 GROUP BY 1, 2"
+        ),
+        "debounce_events": (
+            f"WITH l AS (SELECT event_id, user_id, event_type, ts,"
+            f" LAG(ts) OVER (PARTITION BY user_id, event_type"
+            f" ORDER BY ts, event_id) pts FROM events)"
+            f" SELECT event_id, user_id, event_type, ts FROM l"
+            f" WHERE pts IS NULL"
+            f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
         ),
     }
