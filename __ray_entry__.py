@@ -2872,6 +2872,22 @@ def _q_debounce_events(sf_dir: str):
     return funnel.debounce(ev, gap_us=_DEBOUNCE_GAP_US)
 
 
+def _q_paragraph_dedup_docs(sf_dir: str):
+    """RefinedWeb-style paragraph-level exact dedup with reassembly:
+    10-word paragraph windows, corpus-wide first-occurrence keep
+    (only (hash, doc_id, idx) projections shuffle), one hash join to
+    re-attach text, ordered distributed string_agg per doc
+    (ops/paradedup.paragraph_dedup)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import paradedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return paradedup.paragraph_dedup(docs, para_words=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3016,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_purchase": _q_funnel_signup_purchase,
         "cohort_retention": _q_cohort_retention,
         "debounce_events": _q_debounce_events,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
     }
 
 
@@ -3756,5 +3773,16 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" SELECT event_id, user_id, event_type, ts FROM l"
             f" WHERE pts IS NULL"
             f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
+        ),
+        "paragraph_dedup_docs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),"
+            " p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) idx,"
+            "   array_to_string(ws[(i-1)*10+1 : i*10], ' ') para"
+            "   FROM w, LATERAL (SELECT unnest(generate_series(1,"
+            "     CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i) t),"
+            " sel AS (SELECT doc_id, idx, para, ROW_NUMBER() OVER"
+            "   (PARTITION BY para ORDER BY doc_id, idx) rn FROM p)"
+            " SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text"
+            " FROM sel WHERE rn = 1 GROUP BY doc_id"
         ),
     }
