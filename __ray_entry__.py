@@ -2888,6 +2888,91 @@ def _q_paragraph_dedup_docs(sf_dir: str):
     return paradedup.paragraph_dedup(docs, para_words=10)
 
 
+def _q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (group-HAVING semi-join): per-order quantity
+    sums via sorted runs (only (orderkey, qty) shuffles), HAVING
+    filter, then two hash joins to attach order and customer
+    attributes. The fact table is pre-aggregated BEFORE any join —
+    the join inputs are winner-sized, never lineitem-sized."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import default_join_partitions
+    from matomo_log_analytics_ray.ops.groupagg import sorted_group_sum
+
+    np_join = default_join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    winners = (
+        sorted_group_sum(li, ["l_orderkey"], "l_quantity", alias="sum_qty")
+        .filter(expr="sum_qty > 250.0")
+        .map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas",
+        )
+        .repartition(np_join)
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).repartition(np_join)
+    j1 = winners.join(orders, "inner", num_partitions=np_join, on=("o_orderkey",))
+    j1 = j1.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    ).repartition(np_join)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).repartition(np_join)
+    j2 = j1.join(cust, "inner", num_partitions=np_join, on=("c_custkey",))
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[
+            ["o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"]
+        ].copy()
+        out["sum_qty"] = b["sum_qty"].round(2)
+        return out
+
+    return j2.map_batches(proj, batch_format="pandas")
+
+
+def _q_daily_top_event_types(sf_dir: str):
+    """Per-day top-3 event types by count: per-batch partial counts
+    (pre-aggregation before the shuffle), low-cardinality groupby
+    SUM, then the grouped top-k operator (ROW_NUMBER <= k shape with
+    O(blocks x k) merge rows)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops import topk
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.assign(day=b["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby(["day", "event_type"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "n"})
+
+    agg = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = topk.grouped_topk(
+        agg, ["day"], ["n", "event_type"], k=3, descending=[True, False]
+    )
+    return out.map_batches(
+        lambda b: b.assign(n=b["n"].astype("int64")), batch_format="pandas"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3033,6 +3118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "debounce_events": _q_debounce_events,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
+        "q18_large_orders": _q_q18_large_orders,
+        "daily_top_event_types": _q_daily_top_event_types,
     }
 
 
@@ -3773,6 +3860,21 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" SELECT event_id, user_id, event_type, ts FROM l"
             f" WHERE pts IS NULL"
             f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
+        ),
+        "q18_large_orders": (
+            "WITH q AS (SELECT l_orderkey, SUM(l_quantity) sum_qty"
+            " FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250.0)"
+            " SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment,"
+            " o.o_totalprice, ROUND(q.sum_qty, 2) AS sum_qty"
+            " FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        "daily_top_event_types": (
+            "WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT day, event_type, n, ROW_NUMBER() OVER"
+            " (PARTITION BY day ORDER BY n DESC, event_type) rn FROM c)"
+            " SELECT day, event_type, n FROM r WHERE rn <= 3"
         ),
         "paragraph_dedup_docs": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),"

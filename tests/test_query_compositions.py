@@ -1,0 +1,60 @@
+"""Round-3 composed gates (q18 / daily top-k / funnel trio /
+paragraph dedup) replay their DuckDB oracles at sf0.001 — a faster
+in-suite twin of tools/check_oracle.py for the newest entries."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+NEW_GATES = [
+    "q18_large_orders",
+    "daily_top_event_types",
+    "funnel_signup_purchase",
+    "cohort_retention",
+    "debounce_events",
+    "paragraph_dedup_docs",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif df[c].dtype == object or str(df[c].dtype) == "string":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _to_df(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", NEW_GATES)
+def test_gate_matches_oracle_sf0001(name, con):
+    got = _canon(_to_df(entrymod.queries()[name](SF)))
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
