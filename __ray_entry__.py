@@ -2973,6 +2973,128 @@ def _q_daily_top_event_types(sf_dir: str):
     )
 
 
+def _q_bloom_semi_join_orders(sf_dir: str):
+    """Bloom-prefiltered semi-join: build a distributed bloom filter
+    over the dim-side keys (worker tree-merged partials), prune the
+    fact scan with it (zero-copy broadcast of the packed bit array),
+    then verify survivors against the exact broadcast key set — the
+    result is EXACT (the bloom only prunes), so it value-gates the
+    whole ops/bloom path."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import bloom
+
+    cust_keys = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).filter(expr="c_nationkey == 3").select_columns(["c_custkey"])
+    n_hint = max(1024, cust_keys.count())
+    ref, m_bits = bloom.build_bloom(cust_keys, "c_custkey", n_hint)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    pre = bloom.prefilter(orders, "o_custkey", ref, m_bits)
+    exact = ray.put(
+        np.sort(cust_keys.to_pandas()["c_custkey"].to_numpy(dtype=np.int64))
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(exact)
+        pos = np.searchsorted(keys, b["o_custkey"].to_numpy(dtype=np.int64))
+        pos = np.minimum(pos, len(keys) - 1)
+        return b[keys[pos] == b["o_custkey"].to_numpy()]
+
+    return pre.map_batches(verify, batch_format="pandas")
+
+
+def _q_blended_quality_topk(sf_dir: str):
+    """Score-blending selection (data-curation shape): percent-rank
+    two per-doc signals (chars, words) with the distributed rank
+    operator over a single global window, average them, take the
+    global top-100.  Only (doc_id, rank) projections join; the final
+    top-k is the partial-head merge, never a global sort of blends."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank, textstats, topk
+    from matomo_log_analytics_ray.ops import default_join_partitions
+
+    np_join = default_join_partitions()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(
+        lambda b: textstats.token_count_batch(b)[["doc_id", "n_chars", "n_words"]],
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.assign(g=np.int64(0)), batch_format="pandas"
+    )
+    n_docs = docs.count()
+    r1 = rank.grouped_rank(
+        docs, ["g"], ["n_chars", "doc_id"], rank_col="r1"
+    ).select_columns(["doc_id", "r1"]).repartition(np_join)
+    r2 = rank.grouped_rank(
+        docs, ["g"], ["n_words", "doc_id"], rank_col="r2"
+    ).select_columns(["doc_id", "r2"]).repartition(np_join)
+    j = r1.join(r2, "inner", num_partitions=np_join, on=("doc_id",))
+
+    def blend(b: pd.DataFrame) -> pd.DataFrame:
+        d = float(max(n_docs - 1, 1))
+        p1 = (b["r1"].to_numpy(dtype=np.float64) - 1.0) / d
+        p2 = (b["r2"].to_numpy(dtype=np.float64) - 1.0) / d
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "blend": np.round((p1 + p2) / 2.0, 6),
+            }
+        )
+
+    scored = j.map_batches(blend, batch_format="pandas")
+    return topk.topk(scored, ["blend", "doc_id"], 100, descending=[True, False])
+
+
+def _q_user_cooccurrence(sf_dir: str):
+    """Co-occurrence graph: user pairs active on the same day, with the
+    number of shared days.  Distinct (day, user) via sorted-run
+    counting, pair fan-out through the banded bucket_pairs kernel (a
+    hot day emits pairs in-block, never via map_groups), shared-day
+    counts via one more sorted-run pass.  max_bucket is the documented
+    skew valve; it is set above the day cardinality here so the gate
+    is exact."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.dedup import (
+        bucket_pairs,
+        sorted_group_counts,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def day_user(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy(dtype="datetime64[us]").astype("datetime64[D]")
+        )
+        return pd.DataFrame(
+            {"day": day.astype("int64"), "user_id": b["user_id"].to_numpy()}
+        ).drop_duplicates()
+
+    pairs_in = sorted_group_counts(
+        ev.map_batches(day_user, batch_format="pandas"), ["day", "user_id"]
+    ).drop_columns(["n"])
+    pairs = bucket_pairs(pairs_in, ["day"], "user_id", max_bucket=1_000_000)
+    out = sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_days")
+    return out.map_batches(
+        lambda b: b.rename(columns={"id_a": "u1", "id_b": "u2"}),
+        batch_format="pandas",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3120,6 +3242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "q18_large_orders": _q_q18_large_orders,
         "daily_top_event_types": _q_daily_top_event_types,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "blended_quality_topk": _q_blended_quality_topk,
+        "user_cooccurrence": _q_user_cooccurrence,
     }
 
 
@@ -3860,6 +3985,26 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" SELECT event_id, user_id, event_type, ts FROM l"
             f" WHERE pts IS NULL"
             f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
+        ),
+        "bloom_semi_join_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)"
+        ),
+        "blended_quality_topk": (
+            "WITH t AS (SELECT doc_id, n_chars,"
+            " len(regexp_extract_all(text, '\\S+')) AS nw FROM documents),"
+            " r AS (SELECT doc_id,"
+            " PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) p1,"
+            " PERCENT_RANK() OVER (ORDER BY nw, doc_id) p2 FROM t)"
+            " SELECT doc_id, ROUND((p1 + p2) / 2, 6) AS blend FROM r"
+            " ORDER BY blend DESC, doc_id LIMIT 100"
+        ),
+        "user_cooccurrence": (
+            "WITH p AS (SELECT DISTINCT CAST(ts AS DATE) d, user_id FROM events)"
+            " SELECT a.user_id AS u1, b.user_id AS u2,"
+            " CAST(COUNT(*) AS BIGINT) AS n_days"
+            " FROM p a JOIN p b ON a.d = b.d AND a.user_id < b.user_id"
+            " GROUP BY 1, 2"
         ),
         "q18_large_orders": (
             "WITH q AS (SELECT l_orderkey, SUM(l_quantity) sum_qty"

@@ -21,6 +21,9 @@ NEW_GATES = [
     "cohort_retention",
     "debounce_events",
     "paragraph_dedup_docs",
+    "bloom_semi_join_orders",
+    "blended_quality_topk",
+    "user_cooccurrence",
 ]
 
 

@@ -452,6 +452,59 @@ def main_newops() -> None:
     ray.shutdown()
 
 
+ROUND3B = "--round3b" in sys.argv
+
+
+def main_round3b() -> None:
+    """Round-3 second-block probe: funnel / cohort / debounce over the
+    20M-row events table and paragraph dedup over the 200k-doc corpus.
+    Run with --skew to point the 15%-hot-user generator at the same
+    ops (the funnel joins and per-(user,type) lag runs are the skew
+    surfaces)."""
+    import ray
+    import ray.data
+
+    src = make_input()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.ops import funnel, paradedup
+
+    results = {}
+
+    def timed(name, denom, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n_out = len(out) if isinstance(out, pd.DataFrame) else out.count()
+        dt = time.monotonic() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "rows_out": int(n_out),
+            "items_per_sec": round(denom / dt),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    def ev():
+        return ray.data.read_parquet(src)
+
+    timed("funnel_3step_12h", N_ROWS, lambda: funnel.funnel_counts(
+        ev(), ["signup", "click", "purchase"],
+        within_us=12 * 3600 * 1_000_000))
+    timed("cohort_retention_30d", N_ROWS, lambda: funnel.cohort_retention(
+        ev(), max_offset=30))
+    timed("debounce_6h", N_ROWS, lambda: funnel.debounce(
+        ev(), gap_us=6 * 3600 * 1_000_000))
+
+    dpath = datagen.documents_path(TEXT_DOCS)
+    timed("paragraph_dedup_w10", TEXT_DOCS, lambda: paradedup.paragraph_dedup(
+        ray.data.read_parquet(dpath), para_words=10))
+
+    print(json.dumps({"n_rows": N_ROWS, "n_docs": TEXT_DOCS, "skew": SKEW,
+                      "num_cpus": 32, "results": results}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if ANN:
         main_ann()
@@ -461,5 +514,7 @@ if __name__ == "__main__":
         main_delta()
     elif NEWOPS:
         main_newops()
+    elif ROUND3B:
+        main_round3b()
     else:
         main()
