@@ -40,8 +40,15 @@ from .dedup import sorted_group_counts, sorted_group_first
 def _first_ts_per_user(
     ds: "ray.data.Dataset", user_col: str, ts_col: str
 ) -> "ray.data.Dataset":
-    """MIN(ts) per user via sorted runs; output (user_col, ts_col)."""
-    return sorted_group_first(ds, [user_col], ts_col)
+    """MIN(ts) per user via sorted runs; output (user_col, ts_col).
+    An in-batch min pre-reduction runs BEFORE the sort (min of mins
+    is exact), so the shuffle moves at most (users-per-block x
+    blocks) rows instead of every event of the step type."""
+    pre = ds.map_batches(
+        lambda b: b.groupby(user_col, as_index=False)[ts_col].min(),
+        batch_format="pandas",
+    )
+    return sorted_group_first(pre, [user_col], ts_col)
 
 
 def funnel_counts(
