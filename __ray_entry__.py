@@ -3095,6 +3095,31 @@ def _q_user_cooccurrence(sf_dir: str):
     )
 
 
+def _q_mmr_select(sf_dir: str):
+    """MMR diversity selection (rows-only gate — greedy argmax over a
+    growing set has no SQL shape; tests/test_mmr.py pins the exact
+    selection against an independent reference): distributed exact
+    top-200 prefilter by query cosine, then driver-side greedy MMR
+    over the 200 candidates (ops/mmr.mmr_select)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import mmr
+
+    first = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 1)
+    q = np.asarray(first["embedding"].to_pylist()[0], dtype=np.float64)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = mmr.mmr_select(corpus, q, k=20, lam=0.7, prefilter_m=200)
+    out["mmr_score"] = out["mmr_score"].round(6)
+    out["relevance"] = out["relevance"].round(6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3245,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "blended_quality_topk": _q_blended_quality_topk,
         "user_cooccurrence": _q_user_cooccurrence,
+        "mmr_select_topk": _q_mmr_select,
     }
 
 
