@@ -3120,6 +3120,36 @@ def _q_mmr_select(sf_dir: str):
     return out
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution Shannon entropy (gibberish /
+    boilerplate detector): one stateless vectorized pass
+    (ops/textstats.char_entropy_batch)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.char_entropy_batch, batch_format="pandas"
+    )
+
+
+def _q_rolling_7d_active_users(sf_dir: str):
+    """Trailing 7-day distinct active users per day: two sorted-run
+    distinct passes over int64 projections + a fan-out to window-end
+    days (ops/window.rolling_window_distinct)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return window.rolling_window_distinct(ev, "user_id", "ts", window_days=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3271,6 +3301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blended_quality_topk": _q_blended_quality_topk,
         "user_cooccurrence": _q_user_cooccurrence,
         "mmr_select_topk": _q_mmr_select,
+        "char_entropy": _q_char_entropy,
+        "rolling_7d_active_users": _q_rolling_7d_active_users,
     }
 
 
@@ -4011,6 +4043,27 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" SELECT event_id, user_id, event_type, ts FROM l"
             f" WHERE pts IS NULL"
             f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
+        ),
+        "char_entropy": (
+            "WITH c AS (SELECT doc_id, unnest(string_split_regex(text, ''))"
+            " AS ch FROM documents),"
+            " f AS (SELECT doc_id, ch, COUNT(*) n FROM c GROUP BY 1, 2),"
+            " l AS (SELECT doc_id, SUM(n) tot FROM f GROUP BY 1),"
+            " e AS (SELECT f.doc_id,"
+            "   -SUM((n / tot) * log2(n / tot)) AS ent"
+            "   FROM f JOIN l USING (doc_id) GROUP BY f.doc_id)"
+            " SELECT d.doc_id, ROUND(coalesce(e.ent, 0.0), 6) AS char_entropy"
+            " FROM documents d LEFT JOIN e USING (doc_id)"
+        ),
+        "rolling_7d_active_users": (
+            "WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events),"
+            " w AS (SELECT DISTINCT user_id,"
+            "   d + to_days(CAST(i AS INTEGER)) AS wd FROM p,"
+            "   LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t)"
+            " SELECT strftime(wd, '%Y-%m-%d') AS day,"
+            " CAST(COUNT(*) AS BIGINT) AS active FROM w"
+            " WHERE wd <= (SELECT max(CAST(ts AS DATE)) FROM events)"
+            " GROUP BY 1"
         ),
         "bloom_semi_join_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -75,6 +75,33 @@ def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def char_entropy_batch(
+    batch: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """Shannon entropy (bits) of each doc's character distribution —
+    the classic gibberish/boilerplate detector (low entropy = repeated
+    filler, high = random noise).  Fully vectorized: one utf-32 decode
+    of the concatenated batch text, one np.unique over
+    (doc, codepoint) composite keys, one scatter-add — no per-row
+    Python."""
+    t = batch[text_col].fillna("")
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    ent = np.zeros(len(batch))
+    if lens.sum():
+        cps = np.frombuffer(
+            "".join(t.tolist()).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        key = doc_of * 0x110000 + cps
+        uniq, counts = np.unique(key, return_counts=True)
+        ud = uniq // 0x110000
+        p = counts / lens[ud]
+        np.add.at(ent, ud, -p * np.log2(p))
+    out = batch[[c for c in batch.columns if c != text_col]].copy()
+    out["char_entropy"] = np.round(ent, 6)
+    return out
+
+
 def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Stopword-vote language ID over {en, es, pt}; 'und' when no
     stopword of any language appears."""

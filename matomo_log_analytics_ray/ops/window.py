@@ -156,3 +156,77 @@ def grouped_rolling_mean(
         return out
 
     return sorted_ds.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+def rolling_window_distinct(
+    ds: "ray.data.Dataset",
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> "ray.data.Dataset":
+    """Trailing-window distinct entities per day (e.g. 7-day active
+    users): for every day D, the number of distinct entities seen in
+    [D - window_days + 1, D].
+
+    Exact and distributed: distinct (entity, day) pairs via sorted-run
+    counting, a x window_days fan-out to every window-END day each
+    pair covers, a SECOND sorted-run distinct over (entity, window)
+    (an entity active on several days of one window must count once),
+    then a low-cardinality partial-count aggregate.  Both shuffles
+    move only (int64, int64) projections.  Output (day 'YYYY-MM-DD',
+    active: int64) up to the last day present in the data."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import sorted_group_counts
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        day = b[ts_col].to_numpy(dtype="datetime64[us]").astype("datetime64[D]")
+        return pd.DataFrame(
+            {
+                entity_col: b[entity_col].to_numpy(),
+                "_day": day.astype("int64"),
+            }
+        ).drop_duplicates()
+
+    pairs = ds.select_columns([entity_col, ts_col]).map_batches(
+        to_day, batch_format="pandas"
+    )
+    dpairs = sorted_group_counts(pairs, [entity_col, "_day"]).drop_columns(["n"])
+    dpairs = dpairs.materialize()  # reused by max() and the fan-out
+    max_day = int(dpairs.max("_day"))
+
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ent = np.repeat(b[entity_col].to_numpy(), window_days)
+        wd = (
+            np.repeat(b["_day"].to_numpy(), window_days)
+            + np.tile(np.arange(window_days, dtype=np.int64), n)
+        )
+        keep = wd <= max_day
+        return pd.DataFrame({entity_col: ent[keep], "_wd": wd[keep]})
+
+    wpairs = sorted_group_counts(
+        dpairs.map_batches(fan_out, batch_format="pandas"),
+        [entity_col, "_wd"],
+    ).drop_columns(["n"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("_wd", as_index=False).size()
+        return g.rename(columns={"size": "active"})
+
+    agg = (
+        wpairs.map_batches(partials, batch_format="pandas")
+        .groupby("_wd")
+        .aggregate(Sum("active", alias_name="active"))
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["_wd"].to_numpy(dtype="int64").astype("datetime64[D]")
+        return pd.DataFrame(
+            {
+                "day": np.datetime_as_string(day, unit="D"),
+                "active": b["active"].to_numpy(dtype="int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -24,6 +24,8 @@ NEW_GATES = [
     "bloom_semi_join_orders",
     "blended_quality_topk",
     "user_cooccurrence",
+    "char_entropy",
+    "rolling_7d_active_users",
 ]
 
 
