@@ -3150,6 +3150,45 @@ def _q_rolling_7d_active_users(sf_dir: str):
     return window.rolling_window_distinct(ev, "user_id", "ts", window_days=7)
 
 
+def _q_ann_join_nn(sf_dir: str):
+    """Similarity JOIN (nearest benchmark vector per corpus vector):
+    IVF co-partitioning with fixed one-hot centroids — both sides
+    assigned by one broadcast map, ONE cluster shuffle, per-cluster
+    tiled L @ R.T top-1 (ops/annjoin.ann_join). Fixed centroids make
+    it exactly SQL-replayable (the ivf_topk_fixed convention)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import annjoin
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(head["embedding"].to_pylist()[0])
+    cent = np.eye(8, dim) * 10.0
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    left = emb.filter(expr="label != 0").select_columns(["vec_id", "embedding"])
+    right = emb.filter(expr="label == 0").select_columns(["vec_id", "embedding"])
+    out = annjoin.ann_join(left, right, cent, k=1)
+
+    def proj(b):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "qid": b["qid"].to_numpy(),
+                "nn_id": b["nn_id"].to_numpy(),
+                "score": b["score"].round(4),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3303,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select_topk": _q_mmr_select,
         "char_entropy": _q_char_entropy,
         "rolling_7d_active_users": _q_rolling_7d_active_users,
+        "ann_join_nn": _q_ann_join_nn,
     }
 
 
@@ -4043,6 +4083,31 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" SELECT event_id, user_id, event_type, ts FROM l"
             f" WHERE pts IS NULL"
             f" OR date_diff('microsecond', pts, ts) >= {_DEBOUNCE_GAP_US}"
+        ),
+        "ann_join_nn": (
+            "WITH c AS ("
+            "  SELECT cid, list_transform("
+            "    range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),"
+            "    i -> CASE WHEN i = cid + 1 THEN 10.0 ELSE 0.0 END) AS cv"
+            "  FROM (SELECT unnest(generate_series(0, 7)) AS cid)"
+            "), e AS ("
+            "  SELECT vec_id, label,"
+            "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings"
+            "), a AS ("
+            "  SELECT e.vec_id, arg_min(c.cid, list_distance(e.v, c.cv)) AS cl"
+            "  FROM e CROSS JOIN c GROUP BY e.vec_id"
+            "), av AS ("
+            "  SELECT a.vec_id, a.cl, e.label, e.v FROM a JOIN e USING (vec_id)"
+            "), p AS ("
+            "  SELECT l.vec_id AS qid, r.vec_id AS nn_id,"
+            "    list_cosine_similarity(l.v, r.v) AS s"
+            "  FROM av l JOIN av r ON l.cl = r.cl"
+            "  WHERE l.label <> 0 AND r.label = 0"
+            "), rk AS ("
+            "  SELECT qid, nn_id, s, ROW_NUMBER() OVER ("
+            "    PARTITION BY qid ORDER BY s DESC, nn_id) AS rn FROM p"
+            ") SELECT qid, nn_id, ROUND(s, 4) AS score FROM rk WHERE rn = 1"
         ),
         "char_entropy": (
             "WITH c AS (SELECT doc_id, unnest(string_split_regex(text, ''))"
