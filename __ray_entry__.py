@@ -3189,6 +3189,89 @@ def _q_ann_join_nn(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def _q_semantic_decontam(sf_dir: str):
+    """Embedding-space decontamination: drop corpus vectors whose
+    nearest same-cluster benchmark vector (label=0) has cosine >=
+    0.30 — ann_join composed with a threshold anti-filter. The
+    contaminated-id set is join-output-sized (small); corpus rows
+    anti-filter against its broadcast sorted array."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import annjoin
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(head["embedding"].to_pylist()[0])
+    cent = np.eye(8, dim) * 10.0
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    left = emb.filter(expr="label != 0").select_columns(["vec_id", "embedding"])
+    right = emb.filter(expr="label == 0").select_columns(["vec_id", "embedding"])
+    nn = annjoin.ann_join(left, right, cent, k=1)
+    bad = nn.filter(expr="score >= 0.30").select_columns(["qid"]).to_pandas()
+    bad_ids = (
+        bad["qid"].to_numpy(dtype=np.int64)
+        if "qid" in bad.columns
+        else np.array([], dtype=np.int64)  # zero contaminated rows
+    )
+    bad_ref = ray.put(np.sort(bad_ids))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(bad_ref)
+        v = b["vec_id"].to_numpy(dtype=np.int64)
+        if len(keys) == 0:
+            return b[["vec_id"]]
+        pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+        return b.loc[keys[pos] != v, ["vec_id"]]
+
+    return left.map_batches(keep, batch_format="pandas")
+
+
+def _q_per_source_cap(sf_dir: str):
+    """Per-domain document cap (the per-source quota every corpus mix
+    applies): deterministic knuth-hash order within each source, keep
+    the first 50 — ops/topk.grouped_topk over (hash, id) projections.
+    Hash = (id * 2654435761) mod 2^32, the same SQL-replayable knuth
+    key sample_exact_n / epoch_shuffle gate with."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].to_numpy(dtype="uint64") * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(),
+                "h": h.astype("int64"),
+            }
+        )
+
+    out = topk.grouped_topk(
+        docs.map_batches(keyed, batch_format="pandas"),
+        ["source"],
+        ["h", "doc_id"],
+        k=50,
+        descending=False,
+    )
+    return out.select_columns(["source", "doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3343,6 +3426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "rolling_7d_active_users": _q_rolling_7d_active_users,
         "ann_join_nn": _q_ann_join_nn,
+        "semantic_decontam": _q_semantic_decontam,
+        "per_source_cap": _q_per_source_cap,
     }
 
 
@@ -4108,6 +4193,32 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             "  SELECT qid, nn_id, s, ROW_NUMBER() OVER ("
             "    PARTITION BY qid ORDER BY s DESC, nn_id) AS rn FROM p"
             ") SELECT qid, nn_id, ROUND(s, 4) AS score FROM rk WHERE rn = 1"
+        ),
+        "semantic_decontam": (
+            "WITH c AS ("
+            "  SELECT cid, list_transform("
+            "    range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),"
+            "    i -> CASE WHEN i = cid + 1 THEN 10.0 ELSE 0.0 END) AS cv"
+            "  FROM (SELECT unnest(generate_series(0, 7)) AS cid)"
+            "), e AS ("
+            "  SELECT vec_id, label,"
+            "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings"
+            "), a AS ("
+            "  SELECT e.vec_id, arg_min(c.cid, list_distance(e.v, c.cv)) AS cl"
+            "  FROM e CROSS JOIN c GROUP BY e.vec_id"
+            "), av AS ("
+            "  SELECT a.vec_id, a.cl, e.label, e.v FROM a JOIN e USING (vec_id)"
+            ") SELECT l.vec_id FROM av l WHERE l.label <> 0 AND NOT EXISTS ("
+            "  SELECT 1 FROM av r WHERE r.label = 0 AND r.cl = l.cl"
+            "  AND list_cosine_similarity(l.v, r.v) >= 0.30)"
+        ),
+        "per_source_cap": (
+            "WITH h AS (SELECT doc_id, source,"
+            " (doc_id * 2654435761) % 4294967296 AS hk FROM documents),"
+            " r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+            " PARTITION BY source ORDER BY hk, doc_id) rn FROM h)"
+            " SELECT source, doc_id FROM r WHERE rn <= 50"
         ),
         "char_entropy": (
             "WITH c AS (SELECT doc_id, unnest(string_split_regex(text, ''))"

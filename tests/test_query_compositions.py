@@ -26,6 +26,9 @@ NEW_GATES = [
     "user_cooccurrence",
     "char_entropy",
     "rolling_7d_active_users",
+    "ann_join_nn",
+    "semantic_decontam",
+    "per_source_cap",
 ]
 
 
