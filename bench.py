@@ -280,6 +280,15 @@ def main() -> None:
         "pivot_daily_events",
         "pack_documents",
         "split_leakage_safe",
+        # round-3 second block
+        "funnel_signup_purchase",
+        "cohort_retention",
+        "debounce_events",
+        "paragraph_dedup_docs",
+        "ann_join_nn",
+        "user_cooccurrence",
+        "char_entropy",
+        "rolling_7d_active_users",
     )
     names = headline + extended if "--extended" in sys.argv else headline
 
