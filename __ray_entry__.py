@@ -3272,6 +3272,43 @@ def _q_per_source_cap(sf_dir: str):
     return out.select_columns(["source", "doc_id"])
 
 
+def _q_conv_reassemble(sf_dir: str):
+    """Reassemble each conversation's full text from its turns in
+    order — the distributed ordered string_agg operator
+    (ops/paradedup.grouped_concat) applied to the flagship transcript
+    family. Interior runs concatenate in-block; one pre-joined edge
+    row per block reaches the merge."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.paradedup import grouped_concat
+
+    ds = ray.data.read_parquet(
+        _transcripts(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    ).map_batches(
+        lambda b: b.assign(turn_idx=b["turn_idx"].astype("int64")),
+        batch_format="pandas",
+    )
+    return grouped_concat(
+        ds, ["conv_id"], "turn_idx", "text", sep="\n", out_col="full_text"
+    )
+
+
+def _q_fuzzy_pairs(sf_dir: str):
+    """Entity-resolution fuzzy self-join: 2-word-prefix blocking (only
+    (hash, id) projections shuffle), skew-valved in-block candidate
+    pairs, two Arrow-typed text-attach joins, banded-Levenshtein
+    verify at distance <= 5 (ops/fuzzyjoin.fuzzy_pairs)."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import fuzzyjoin
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return fuzzyjoin.fuzzy_pairs(docs, max_dist=5, prefix_words=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3428,6 +3465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_join_nn": _q_ann_join_nn,
         "semantic_decontam": _q_semantic_decontam,
         "per_source_cap": _q_per_source_cap,
+        "conv_reassemble": _q_conv_reassemble,
+        "fuzzy_pairs": _q_fuzzy_pairs,
     }
 
 
@@ -4087,6 +4126,10 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f"SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n "
             f"FROM read_parquet('{tpath}') GROUP BY conv_id"
         ),
+        "conv_reassemble": (
+            f"SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx)"
+            f" AS full_text FROM read_parquet('{tpath}') GROUP BY conv_id"
+        ),
         "flagship_sink_outcome_counts": oracle.sink_outcome_counts_sql(src),
         "flagship_global_counters": oracle.global_counters_sql(src),
         "flagship_routed_tool_bash": oracle.routed_rows_sql(src, "tool-bash"),
@@ -4212,6 +4255,15 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             ") SELECT l.vec_id FROM av l WHERE l.label <> 0 AND NOT EXISTS ("
             "  SELECT 1 FROM av r WHERE r.label = 0 AND r.cl = l.cl"
             "  AND list_cosine_similarity(l.v, r.v) >= 0.30)"
+        ),
+        "fuzzy_pairs": (
+            "WITH k AS (SELECT doc_id, text,"
+            " split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)"
+            " AS pfx FROM documents)"
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist"
+            " FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id"
+            " WHERE levenshtein(a.text, b.text) <= 5"
         ),
         "per_source_cap": (
             "WITH h AS (SELECT doc_id, source,"

@@ -29,6 +29,11 @@ NEW_GATES = [
     "ann_join_nn",
     "semantic_decontam",
     "per_source_cap",
+    # conv_reassemble is NOT here: its oracle reads the sf0.01
+    # transcript fixture by the driver contract, so the sf0.001
+    # comparison is structurally mismatched; tools/check_oracle.py
+    # and the driver gate it at sf0.01.
+    "fuzzy_pairs",
 ]
 
 
