@@ -3309,6 +3309,133 @@ def _q_fuzzy_pairs(sf_dir: str):
     return fuzzyjoin.fuzzy_pairs(docs, max_dist=5, prefix_words=2)
 
 
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user activity entropy (how spread a user's events are over
+    types): counts per (user, type) via one sorted-run pass, then BOTH
+    moments (sum n, sum n*log2 n) fold in ONE multi-measure sorted-run
+    sum — entropy = log2(N) - sum(n log2 n)/N, no second shuffle per
+    measure."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.dedup import sorted_group_counts
+    from matomo_log_analytics_ray.ops.groupagg import sorted_group_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = sorted_group_counts(ev, ["user_id", "event_type"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "n": n,
+                "nlogn": n * np.log2(np.maximum(n, 1.0)),
+            }
+        )
+
+    agg = sorted_group_sum(
+        counts.map_batches(moments, batch_format="pandas"),
+        ["user_id"],
+        ["n", "nlogn"],
+        alias=["n", "nlogn"],
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        ent = np.log2(np.maximum(n, 1.0)) - b["nlogn"].to_numpy() / np.maximum(
+            n, 1.0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "type_entropy": np.round(ent, 6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources: each distinct
+    (word, source) one-hot folds through ONE sorted-run sum into a
+    per-word source BITMASK (distinctness makes SUM == OR); per-mask
+    counts are tiny; the driver combines masks into the S x S overlap
+    triangle. Word strings never shuffle — only uint64 hashes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.dedup import sorted_group_counts
+    from matomo_log_analytics_ray.ops.groupagg import sorted_group_sum
+    from matomo_log_analytics_ray.ops.hashing import hash_strings
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def word_source(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        flat = words.explode().dropna()
+        src = np.repeat(b["source"].to_numpy(), counts)
+        return pd.DataFrame(
+            {
+                "w": hash_strings(flat).astype("uint64"),
+                "source": src[: len(flat)],
+            }
+        ).drop_duplicates()
+
+    ws = sorted_group_counts(
+        docs.map_batches(word_source, batch_format="pandas"), ["w", "source"]
+    ).drop_columns(["n"])
+
+    # source name -> bit position (sources are a tiny fixed set)
+    srcs = sorted(
+        ws.groupby("source").count().to_pandas()["source"].tolist()
+    )
+    code = {s: i for i, s in enumerate(srcs)}
+
+    def one_hot(b: pd.DataFrame) -> pd.DataFrame:
+        bits = b["source"].map(code).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"w": b["w"].to_numpy(), "m": (1 << bits).astype(np.float64)}
+        )
+
+    masks = sorted_group_sum(
+        ws.map_batches(one_hot, batch_format="pandas"), ["w"], "m", alias="m"
+    )
+
+    def mask_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("m", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    mc = (
+        masks.map_batches(mask_counts, batch_format="pandas")
+        .to_pandas()  # O(blocks x observed masks), masks <= 2^|sources|
+        .groupby("m")["c"]
+        .sum()
+    )
+    masks_arr = mc.index.to_numpy(dtype=np.int64)
+    cnts = mc.to_numpy(dtype=np.int64)
+    rows = []
+    for i, s1 in enumerate(srcs):
+        in_i = (masks_arr >> i) & 1
+        n_i = int(cnts[in_i == 1].sum())
+        for j in range(i + 1, len(srcs)):
+            in_j = (masks_arr >> j) & 1
+            inter = int(cnts[(in_i == 1) & (in_j == 1)].sum())
+            n_j = int(cnts[in_j == 1].sum())
+            if inter:  # disjoint pairs are omitted (the SQL join shape)
+                rows.append(
+                    (s1, srcs[j], round(inter / (n_i + n_j - inter), 6))
+                )
+    return pd.DataFrame(rows, columns=["s1", "s2", "jaccard"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3467,6 +3594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "conv_reassemble": _q_conv_reassemble,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "user_type_entropy": _q_user_type_entropy,
+        "source_vocab_overlap": _q_source_vocab_overlap,
     }
 
 
@@ -4255,6 +4384,27 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             ") SELECT l.vec_id FROM av l WHERE l.label <> 0 AND NOT EXISTS ("
             "  SELECT 1 FROM av r WHERE r.label = 0 AND r.cl = l.cl"
             "  AND list_cosine_similarity(l.v, r.v) >= 0.30)"
+        ),
+        "user_type_entropy": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) n FROM events"
+            " GROUP BY 1, 2),"
+            " m AS (SELECT user_id, SUM(n) tot, SUM(n * log2(n)) nlogn"
+            " FROM c GROUP BY 1)"
+            " SELECT user_id, ROUND(log2(tot) - nlogn / tot, 6)"
+            " AS type_entropy FROM m"
+        ),
+        "source_vocab_overlap": (
+            "WITH ws AS (SELECT DISTINCT"
+            " unnest(regexp_extract_all(lower(coalesce(text, '')),"
+            " '[a-z0-9]+')) AS w, source FROM documents),"
+            " sz AS (SELECT source, COUNT(*) n FROM ws GROUP BY 1),"
+            " inter AS (SELECT a.source s1, b.source s2, COUNT(*) i"
+            "   FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source"
+            "   GROUP BY 1, 2)"
+            " SELECT i.s1, i.s2,"
+            " ROUND(i.i / (x.n + y.n - i.i), 6) AS jaccard"
+            " FROM inter i JOIN sz x ON x.source = i.s1"
+            " JOIN sz y ON y.source = i.s2"
         ),
         "fuzzy_pairs": (
             "WITH k AS (SELECT doc_id, text,"

@@ -34,6 +34,8 @@ NEW_GATES = [
     # comparison is structurally mismatched; tools/check_oracle.py
     # and the driver gate it at sf0.01.
     "fuzzy_pairs",
+    "user_type_entropy",
+    "source_vocab_overlap",
 ]
 
 
