@@ -76,7 +76,14 @@ def funnel_counts(
     for k, step in enumerate(steps):
         proj = events.filter(
             expr=f"{type_col} == {step!r}"
-        ).select_columns([user_col, ts_col])
+        ).select_columns([user_col, ts_col]).materialize()
+        if proj.count() == 0:
+            # no events of this type at all: this and every later step
+            # converts nobody — and a fully-empty join side would feed
+            # pyarrow schema-less blocks (the NOTES landmine)
+            for k2 in range(k, len(steps)):
+                out_rows.append((steps[k2], k2 + 1, 0))
+            break
         if conv is None:
             conv = _first_ts_per_user(proj, user_col, ts_col)
         else:
@@ -102,7 +109,12 @@ def funnel_counts(
         # conv is user-count-sized; pin it so stage k+1 (and the count
         # below) don't re-execute the whole upstream lineage
         conv = conv.materialize()
-        out_rows.append((step, k + 1, int(conv.count())))
+        n = int(conv.count())
+        out_rows.append((step, k + 1, n))
+        if n == 0:  # nobody converted: remaining steps are all zero
+            for k2 in range(k + 1, len(steps)):
+                out_rows.append((steps[k2], k2 + 1, 0))
+            break
     return pd.DataFrame(out_rows, columns=["step", "step_idx", "users"])
 
 
@@ -140,8 +152,27 @@ def cohort_retention(
         events.select_columns([user_col, ts_col])
         .map_batches(to_day, batch_format="pandas")
     )
-    # global distinct (user, day): sorted-run counting, counts dropped
-    dpairs = sorted_group_counts(pairs, [user_col, "_day"]).drop_columns(["n"])
+    # global distinct (user, day): sorted-run counting, counts dropped.
+    # Materialized: BOTH the first-day pass and the join consume it
+    # (one execution, not two), and the count() short-circuits the
+    # empty input before a schema-less block can reach the join.
+    dpairs = (
+        sorted_group_counts(pairs, [user_col, "_day"])
+        .drop_columns(["n"])
+        .materialize()
+    )
+    if dpairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "cohort_day": pd.Series([], dtype=object),
+                    "day_offset": pd.Series([], dtype="int64"),
+                    "users": pd.Series([], dtype="int64"),
+                }
+            )
+        )
     first = sorted_group_first(
         dpairs, [user_col], "_day"
     ).map_batches(

@@ -105,7 +105,20 @@ def fuzzy_pairs(
     import pyarrow as pa
 
     id_t = arrow_col_type(ds, id_col)
-    cand = normalize_pair_ids(cand, id_t, np_join)
+    # materialized: count() short-circuits the no-candidates case (a
+    # fully-empty join side yields schema-less blocks pyarrow rejects)
+    # and the verify join reuses the same execution
+    cand = normalize_pair_ids(cand, id_t, np_join).materialize()
+    if cand.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        )
     # pandas-block inputs report object dtype for text; pin large_string
     txt_t = arrow_col_type_or(ds, text_col, pa.large_string())
     ta = _attach_side(ds, id_col, text_col, "id_a", "text_a", payload_type=txt_t)

@@ -166,6 +166,15 @@ def paragraph_dedup(
     entirely."""
     np_join = default_join_partitions()
     paras = paragraph_rows(ds, id_col, text_col, para_words).materialize()
+    if paras.count() == 0:  # empty/whitespace-only corpus: no joins
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    text_col: pd.Series([], dtype=object),
+                }
+            )
+        )
 
     def proj(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

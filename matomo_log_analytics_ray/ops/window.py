@@ -193,7 +193,19 @@ def rolling_window_distinct(
     )
     dpairs = sorted_group_counts(pairs, [entity_col, "_day"]).drop_columns(["n"])
     dpairs = dpairs.materialize()  # reused by max() and the fan-out
-    max_day = int(dpairs.max("_day"))
+    mx = dpairs.max("_day")
+    if mx is None:  # empty input: no days, no windows
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype=object),
+                    "active": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    max_day = int(mx)
 
     def fan_out(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)

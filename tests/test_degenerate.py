@@ -156,3 +156,77 @@ def test_pack_substr_tfidf_empty_and_single():
             assert got["n_shared_windows"].tolist() == [0]
         got = textstats.tfidf_top_terms(ds, k=3).to_pandas()
         assert len(got) == (0 if len(df) == 0 else 3)
+
+
+def test_round3b_ops_empty_and_single():
+    from matomo_log_analytics_ray.ops import funnel, paradedup, window
+
+    empty_ev = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+    one_ev = pd.DataFrame(
+        {
+            "event_id": np.array([1], dtype=np.int64),
+            "user_id": np.array([5], dtype=np.int64),
+            "event_type": ["signup"],
+            "ts": [pd.Timestamp("2024-01-01")],
+        }
+    )
+    for df in (empty_ev, one_ev):
+        ds = ray.data.from_pandas(df)
+        f = funnel.funnel_counts(ds, ["signup", "click"])
+        assert f["users"].tolist() == ([1, 0] if len(df) else [0, 0])
+        c = funnel.cohort_retention(ds).to_pandas()
+        assert len(c) == len(df)
+        d = funnel.debounce(ds, gap_us=1000).to_pandas()
+        assert len(d) == len(df)
+        r = window.rolling_window_distinct(ds, "user_id", "ts", 7).to_pandas()
+        assert len(r) == (7 if len(df) else 0) or len(r) == len(df)
+
+    empty_docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype=object),
+        }
+    )
+    one_doc = pd.DataFrame({"doc_id": [3], "text": ["hello world"]})
+    for df in (empty_docs, one_doc):
+        ds = ray.data.from_pandas(df)
+        out = paradedup.paragraph_dedup(ds).to_pandas()
+        assert len(out) == len(df)
+
+
+def test_annjoin_and_fuzzy_empty():
+    from matomo_log_analytics_ray.ops import annjoin, fuzzyjoin
+
+    empty_vec = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "embedding": pd.Series([], dtype=object),
+        }
+    )
+    one_vec = pd.DataFrame({"vec_id": [1], "embedding": [np.ones(4)]})
+    cent = np.eye(2, 4)
+    out = annjoin.ann_join(
+        ray.data.from_pandas(one_vec),
+        ray.data.from_pandas(empty_vec),
+        cent,
+        max_group=None,
+    ).to_pandas()
+    assert len(out) == 0
+    out = annjoin.ann_join(
+        ray.data.from_pandas(one_vec),
+        ray.data.from_pandas(one_vec),
+        cent,
+        max_group=None,
+    ).to_pandas()
+    assert len(out) == 1
+
+    docs = pd.DataFrame({"doc_id": [1], "text": ["only one doc"]})
+    out = fuzzyjoin.fuzzy_pairs(ray.data.from_pandas(docs)).to_pandas()
+    assert len(out) == 0
