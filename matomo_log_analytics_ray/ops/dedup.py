@@ -589,9 +589,17 @@ def normalize_pair_ids(
     schema-less EMPTY blocks which map stages skip (so no UDF can fix
     them in place) and which poison Ray's hash-join aggregator when a
     join partition ends up empty; the repartition drops them. Pairs are
-    small projections, so this extra exchange is cheap."""
+    small projections, so this extra exchange is cheap.
+
+    The output is MATERIALIZED and, when there are zero candidate
+    pairs anywhere, replaced by one explicitly-typed empty Arrow block
+    — a fully-empty lazy dataset reaches pyarrow's join as schema-less
+    and fails with "no match for key field" (single-doc corpora,
+    tightened thresholds)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    import ray.data as rd
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -605,7 +613,29 @@ def normalize_pair_ids(
         pairs.select_columns(["id_a", "id_b"])
         .map_batches(fn, batch_format="pyarrow")
         .repartition(num_blocks)
+        .materialize()
     )
+
+
+def typed_empty_pairs(id_type, extra_cols: dict | None = None):
+    """One explicitly-typed EMPTY (id_a, id_b, *extra) dataset — the
+    zero-candidate short-circuit every pair-verification join needs:
+    Ray's hash-join aggregator builds schema-less partitions when zero
+    rows shuffle, so an empty lazy side fails pyarrow's join with "no
+    match for key field" no matter how its blocks were typed.  Callers
+    check ``pairs.count() == 0`` (free after normalize_pair_ids, which
+    materializes) and return this instead of joining."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    cols = {
+        "id_a": pa.array([], type=id_type),
+        "id_b": pa.array([], type=id_type),
+    }
+    for name, t in (extra_cols or {}).items():
+        cols[name] = pa.array([], type=t)
+    return rd.from_arrow(pa.table(cols))
 
 
 def _attach_side(
@@ -672,7 +702,10 @@ def simhash_hamming_verify_ds(
     fp_t = arrow_col_type_or(fps, "simhash", pa.uint64())
     fa = _attach_side(fps, id_col, "simhash", "id_a", "fp_a", payload_type=fp_t)
     fb = _attach_side(fps, id_col, "simhash", "id_b", "fp_b", payload_type=fp_t)
-    pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
+    id_t = arrow_col_type(docs, id_col)
+    pairs = normalize_pair_ids(pairs, id_t, num_partitions)
+    if pairs.count() == 0:
+        return typed_empty_pairs(id_t, {"hamming": pa.int64()})
     j = pairs.join(fa, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(fb, "inner", num_partitions=num_partitions, on=("id_b",))
 
@@ -720,7 +753,10 @@ def ngram_jaccard_verify_ds(
     text_t = arrow_col_type_or(docs, text_col, pa.string())
     ta = _attach_side(docs, id_col, text_col, "id_a", "text_a", payload_type=text_t)
     tb = _attach_side(docs, id_col, text_col, "id_b", "text_b", payload_type=text_t)
-    pairs = normalize_pair_ids(pairs, arrow_col_type(docs, id_col), num_partitions)
+    id_t = arrow_col_type(docs, id_col)
+    pairs = normalize_pair_ids(pairs, id_t, num_partitions)
+    if pairs.count() == 0:
+        return typed_empty_pairs(id_t, {"jaccard": pa.float64()})
     j = pairs.join(ta, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(tb, "inner", num_partitions=num_partitions, on=("id_b",))
 

@@ -431,9 +431,12 @@ def verify_pairs_cosine(
     emb_a = corpus.map_batches(_renamer("id_a", "emb_a"), batch_format="pyarrow")
     emb_b = corpus.map_batches(_renamer("id_b", "emb_b"), batch_format="pyarrow")
 
-    pairs = dedup_ops.normalize_pair_ids(
-        pairs, dedup_ops.arrow_col_type(corpus, id_col), num_partitions
-    )
+    _id_t = dedup_ops.arrow_col_type(corpus, id_col)
+    pairs = dedup_ops.normalize_pair_ids(pairs, _id_t, num_partitions)
+    if pairs.count() == 0:  # zero candidates: joining would fail on
+        import pyarrow as _pa  # schema-less empty partitions
+
+        return dedup_ops.typed_empty_pairs(_id_t, {"cosine": _pa.float64()})
     j = pairs.join(emb_a, "inner", num_partitions=num_partitions, on=("id_a",))
     j = j.join(emb_b, "inner", num_partitions=num_partitions, on=("id_b",))
 

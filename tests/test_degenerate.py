@@ -230,3 +230,35 @@ def test_annjoin_and_fuzzy_empty():
     docs = pd.DataFrame({"doc_id": [1], "text": ["only one doc"]})
     out = fuzzyjoin.fuzzy_pairs(ray.data.from_pandas(docs)).to_pandas()
     assert len(out) == 0
+
+
+def test_pair_verify_zero_candidates():
+    """Single-doc corpora produce ZERO candidate pairs; every pair
+    verification path must short-circuit instead of feeding a fully
+    empty side to pyarrow's hash join (schema-less partitions)."""
+    from matomo_log_analytics_ray.ops import dedup, similarity
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1], "text": ["solo document here"]})
+    )
+    out = dedup.ngram_jaccard_verify_ds(
+        dedup.minhash_lsh_candidates(docs), docs, threshold=0.8
+    ).to_pandas()
+    assert len(out) == 0
+    out = dedup.simhash_hamming_verify_ds(
+        dedup.simhash_candidates(docs), docs
+    ).to_pandas()
+    assert len(out) == 0
+    vecs = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [1], "embedding": [np.ones(4)]})
+    )
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+    )
+    out = similarity.verify_pairs_cosine(pairs, vecs, 0.5).to_pandas()
+    assert len(out) == 0
