@@ -3436,6 +3436,59 @@ def _q_source_vocab_overlap(sf_dir: str):
     return pd.DataFrame(rows, columns=["s1", "s2", "jaccard"])
 
 
+def _q_winsorized_mean(sf_dir: str):
+    """Winsorized (P05/P95-clipped) mean per event type — the robust-
+    statistics composition: exact distributed quantile thresholds
+    (histogram refinement, no sort), broadcast clip, per-batch
+    (sum, n) partials into a bounded groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops import quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    thr = quantiles.grouped_quantiles(
+        ev, "event_type", "value", qs=(0.05, 0.95)
+    )
+    lo = thr[thr["q"] == 0.05].set_index("event_type")["value"].to_dict()
+    hi = thr[thr["q"] == 0.95].set_index("event_type")["value"].to_dict()
+    ref = ray.put((lo, hi))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        lo_d, hi_d = ray.get(ref)
+        v = b["value"].to_numpy(dtype=np.float64)
+        lo_v = b["event_type"].map(lo_d).to_numpy(dtype=np.float64)
+        hi_v = b["event_type"].map(hi_d).to_numpy(dtype=np.float64)
+        c = np.clip(v, lo_v, hi_v)
+        g = pd.DataFrame({"event_type": b["event_type"], "s": c}).groupby(
+            "event_type", as_index=False
+        ).agg(s=("s", "sum"), n=("s", "size"))
+        g["n"] = g["n"].astype("float64")
+        return g
+
+    agg = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "wmean": (b["s"] / b["n"]).round(6),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3596,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "user_type_entropy": _q_user_type_entropy,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "winsorized_mean": _q_winsorized_mean,
     }
 
 
@@ -4384,6 +4438,15 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             ") SELECT l.vec_id FROM av l WHERE l.label <> 0 AND NOT EXISTS ("
             "  SELECT 1 FROM av r WHERE r.label = 0 AND r.cl = l.cl"
             "  AND list_cosine_similarity(l.v, r.v) >= 0.30)"
+        ),
+        "winsorized_mean": (
+            "WITH t AS (SELECT event_type,"
+            " quantile_disc(value, 0.05) lo, quantile_disc(value, 0.95) hi"
+            " FROM events GROUP BY 1)"
+            " SELECT e.event_type,"
+            " ROUND(AVG(LEAST(GREATEST(e.value, t.lo), t.hi)), 6) AS wmean,"
+            " CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM events e JOIN t USING (event_type) GROUP BY 1"
         ),
         "user_type_entropy": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) n FROM events"

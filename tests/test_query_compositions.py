@@ -36,6 +36,7 @@ NEW_GATES = [
     "fuzzy_pairs",
     "user_type_entropy",
     "source_vocab_overlap",
+    "winsorized_mean",
 ]
 
 
