@@ -3489,6 +3489,49 @@ def _q_winsorized_mean(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def _q_user_median_value(sf_dir: str):
+    """HIGH-CARDINALITY grouped median (per-user): ops/quantiles'
+    histogram refinement keeps per-group state on the driver and so
+    assumes bounded groups; for millions of groups the shape is
+    rank-and-select instead — grouped_rank + sorted-run counts joined
+    on the key, keep rank == ceil(n/2) (lower median, the
+    quantile_disc convention)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank
+    from matomo_log_analytics_ray.ops import default_join_partitions
+    from matomo_log_analytics_ray.ops.dedup import sorted_group_counts
+
+    np_join = default_join_partitions()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    r = rank.grouped_rank(
+        ev, ["user_id"], ["value", "event_id"], rank_col="rnk"
+    ).select_columns(["user_id", "value", "rnk"]).repartition(np_join)
+    c = sorted_group_counts(
+        ev.select_columns(["user_id"]), ["user_id"]
+    ).repartition(np_join)
+    j = r.join(c, "inner", num_partitions=np_join, on=("user_id",))
+
+    def keep_median(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.int64)
+        want = (n + 1) // 2  # ceil(n/2): lower median
+        m = b["rnk"].to_numpy(dtype=np.int64) == want
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy()[m],
+                "median_value": np.round(
+                    b["value"].to_numpy(dtype=np.float64)[m], 6
+                ),
+            }
+        )
+
+    return j.map_batches(keep_median, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3658,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": _q_user_type_entropy,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "winsorized_mean": _q_winsorized_mean,
+        "user_median_value": _q_user_median_value,
     }
 
 
@@ -4446,6 +4490,10 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             ") SELECT l.vec_id FROM av l WHERE l.label <> 0 AND NOT EXISTS ("
             "  SELECT 1 FROM av r WHERE r.label = 0 AND r.cl = l.cl"
             "  AND list_cosine_similarity(l.v, r.v) >= 0.30)"
+        ),
+        "user_median_value": (
+            "SELECT user_id, ROUND(quantile_disc(value, 0.5), 6)"
+            " AS median_value FROM events GROUP BY user_id"
         ),
         "winsorized_mean": (
             "WITH t AS (SELECT event_type,"

@@ -37,6 +37,7 @@ NEW_GATES = [
     "user_type_entropy",
     "source_vocab_overlap",
     "winsorized_mean",
+    "user_median_value",
 ]
 
 
