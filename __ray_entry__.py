@@ -3532,6 +3532,105 @@ def _q_user_median_value(sf_dir: str):
     return j.map_batches(keep_median, batch_format="pandas")
 
 
+def _q_user_mode_type(sf_dir: str):
+    """Grouped MODE for high-cardinality groups: per-(user, type)
+    sorted-run counts, then the per-user argmax via sorted_group_first
+    on (-count, type) — ties break to the lexicographically first
+    type, the deterministic twin of SQL's mode() WITHIN GROUP."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.dedup import (
+        sorted_group_counts,
+        sorted_group_first,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = sorted_group_counts(ev, ["user_id", "event_type"])
+
+    def neg(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["_negn"] = -b["n"].astype("int64")
+        return out
+
+    best = sorted_group_first(
+        counts.map_batches(neg, batch_format="pandas"),
+        ["user_id"],
+        ["_negn", "event_type"],
+    )
+    return best.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "mode_type": b["event_type"].to_numpy(),
+                "n": (-b["_negn"]).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_mean_gap_per_type(sf_dir: str):
+    """Mean inter-event gap per (type): LAG over the two-pass sorted
+    window keyed on (user, type), then per-batch (sum, n) partials of
+    the second-resolution gaps into a bounded groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops.window import grouped_lag
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def epoch(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_id", "user_id", "event_type"]].copy()
+        out["_us"] = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        return out
+
+    lagged = grouped_lag(
+        ev.map_batches(epoch, batch_format="pandas"),
+        ["user_id", "event_type"],
+        ["_us", "event_id"],
+        "_us",
+        n=1,
+        out_col="_prev",
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        prev = b["_prev"].to_numpy(dtype="float64")
+        ok = ~np.isnan(prev)
+        gap_s = (b["_us"].to_numpy(dtype="float64")[ok] - prev[ok]) / 1e6
+        g = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy()[ok], "s": gap_s}
+        ).groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), n=("s", "size")
+        )
+        g["n"] = g["n"].astype("float64")
+        return g
+
+    agg = (
+        lagged.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "mean_gap_s": (b["s"] / b["n"]).round(4),
+                "n_gaps": b["n"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3702,6 +3801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "winsorized_mean": _q_winsorized_mean,
         "user_median_value": _q_user_median_value,
+        "user_mode_type": _q_user_mode_type,
+        "mean_gap_per_type": _q_mean_gap_per_type,
     }
 
 
@@ -4494,6 +4595,22 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "user_median_value": (
             "SELECT user_id, ROUND(quantile_disc(value, 0.5), 6)"
             " AS median_value FROM events GROUP BY user_id"
+        ),
+        "user_mode_type": (
+            "WITH c AS (SELECT user_id, event_type,"
+            " CAST(COUNT(*) AS BIGINT) n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER ("
+            " PARTITION BY user_id ORDER BY n DESC, event_type) rn FROM c)"
+            " SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1"
+        ),
+        "mean_gap_per_type": (
+            "WITH l AS (SELECT event_type,"
+            " date_diff('microsecond', LAG(ts) OVER ("
+            " PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)"
+            " / 1e6 AS gap_s FROM events)"
+            " SELECT event_type, ROUND(AVG(gap_s), 4) AS mean_gap_s,"
+            " CAST(COUNT(gap_s) AS BIGINT) AS n_gaps"
+            " FROM l WHERE gap_s IS NOT NULL GROUP BY 1"
         ),
         "winsorized_mean": (
             "WITH t AS (SELECT event_type,"

@@ -38,6 +38,8 @@ NEW_GATES = [
     "source_vocab_overlap",
     "winsorized_mean",
     "user_median_value",
+    "user_mode_type",
+    "mean_gap_per_type",
 ]
 
 
