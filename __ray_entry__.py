@@ -3631,6 +3631,117 @@ def _q_mean_gap_per_type(sf_dir: str):
     )
 
 
+def _q_turn_boilerplate(sf_dir: str):
+    """Boilerplate-prefix mining over the flagship transcripts:
+    4-word turn prefixes repeated across >= 2 distinct conversations
+    (the transcript twin of paragraph-level boilerplate removal).
+    Only (prefix_hash, conv) projections shuffle; the prefix string
+    is re-attached to the surviving hashes by one bounded join
+    against a sorted-run exemplar per hash."""
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import default_join_partitions
+    from matomo_log_analytics_ray.ops.dedup import (
+        sorted_group_counts,
+        sorted_group_first,
+    )
+    from matomo_log_analytics_ray.ops.hashing import hash_strings
+
+    ds = ray.data.read_parquet(
+        _transcripts(sf_dir), columns=["conv_id", "text"]
+    )
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        pfx = (
+            b["text"].fillna("").str.split(" ").str[:4].str.join(" ")
+        )
+        return pd.DataFrame(
+            {
+                "h": hash_strings(pfx).astype("uint64"),
+                "conv_id": b["conv_id"].to_numpy(),
+                "prefix": pfx.to_numpy(),
+            }
+        )
+
+    rows = ds.map_batches(proj, batch_format="pandas").materialize()
+    # distinct (hash, conv) pairs, then per-hash distinct-conv counts
+    dpairs = sorted_group_counts(
+        rows.select_columns(["h", "conv_id"]), ["h", "conv_id"]
+    ).drop_columns(["n"])
+    freq = sorted_group_counts(dpairs, ["h"], alias="n_convs")
+    hot = freq.filter(expr="n_convs >= 2").materialize()
+    if hot.count() == 0:  # empty join side = schema-less partitions
+        return pd.DataFrame(
+            {
+                "prefix": pd.Series([], dtype=object),
+                "n_convs": pd.Series([], dtype="int64"),
+            }
+        )
+    exemplar = sorted_group_first(
+        rows.select_columns(["h", "prefix"]), ["h"], "prefix"
+    )
+    np_join = default_join_partitions()
+    j = hot.repartition(np_join).join(
+        exemplar.repartition(np_join),
+        "inner",
+        num_partitions=np_join,
+        on=("h",),
+    )
+    return j.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "prefix": b["prefix"].to_numpy(),
+                "n_convs": b["n_convs"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_role_text_stats(sf_dir: str):
+    """Per-(role, tool) turn counts and average text length over the
+    flagship transcripts — per-batch (sum, n) partials, bounded
+    groupby."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _transcripts(sf_dir), columns=["role", "tool", "text"]
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "role": b["role"].to_numpy(),
+                "tool": b["tool"].fillna("").to_numpy(),
+                "s": b["text"].fillna("").str.len().to_numpy(dtype="float64"),
+            }
+        ).groupby(["role", "tool"], as_index=False).agg(
+            s=("s", "sum"), n=("s", "size")
+        )
+        g["n"] = g["n"].astype("float64")
+        return g
+
+    agg = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["role", "tool"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "role": b["role"],
+                "tool": b["tool"],
+                "n_turns": b["n"].astype("int64"),
+                "avg_chars": (b["s"] / b["n"]).round(4),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3803,6 +3914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_value": _q_user_median_value,
         "user_mode_type": _q_user_mode_type,
         "mean_gap_per_type": _q_mean_gap_per_type,
+        "turn_boilerplate": _q_turn_boilerplate,
+        "role_text_stats": _q_role_text_stats,
     }
 
 
@@ -4465,6 +4578,19 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "conv_reassemble": (
             f"SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx)"
             f" AS full_text FROM read_parquet('{tpath}') GROUP BY conv_id"
+        ),
+        "turn_boilerplate": (
+            f"SELECT array_to_string((string_split(coalesce(text, ''),"
+            f" ' '))[1:4], ' ') AS prefix,"
+            f" CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs"
+            f" FROM read_parquet('{tpath}') GROUP BY 1"
+            f" HAVING COUNT(DISTINCT conv_id) >= 2"
+        ),
+        "role_text_stats": (
+            f"SELECT role, coalesce(tool, '') AS tool,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_turns,"
+            f" ROUND(AVG(len(coalesce(text, ''))), 4) AS avg_chars"
+            f" FROM read_parquet('{tpath}') GROUP BY 1, 2"
         ),
         "flagship_sink_outcome_counts": oracle.sink_outcome_counts_sql(src),
         "flagship_global_counters": oracle.global_counters_sql(src),
