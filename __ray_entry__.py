@@ -3742,6 +3742,39 @@ def _q_role_text_stats(sf_dir: str):
     )
 
 
+def _q_validate_lineitem(sf_dir: str):
+    """Declarative data-quality audit over lineitem (deequ shape):
+    null / range / set / uniqueness / FK-integrity rules in one
+    streaming pass + one sorted-run pass + one broadcast FK probe
+    (ops/validate.validate). Output: per-rule violation counts."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import validate as v
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_returnflag"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    return v.validate(
+        li,
+        [
+            {"rule": "not_null", "col": "l_quantity"},
+            {"rule": "range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
+            {"rule": "in_set", "col": "l_returnflag", "values": ["A", "N"]},
+            {"rule": "unique", "col": "l_orderkey"},
+            {
+                "rule": "fk_exists",
+                "col": "l_orderkey",
+                "ref": orders,
+                "ref_col": "o_orderkey",
+            },
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3916,6 +3949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_gap_per_type": _q_mean_gap_per_type,
         "turn_boilerplate": _q_turn_boilerplate,
         "role_text_stats": _q_role_text_stats,
+        "validate_lineitem": _q_validate_lineitem,
     }
 
 
@@ -4721,6 +4755,23 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "user_median_value": (
             "SELECT user_id, ROUND(quantile_disc(value, 0.5), 6)"
             " AS median_value FROM events GROUP BY user_id"
+        ),
+        "validate_lineitem": (
+            "SELECT 'fk_exists(l_orderkey)' AS rule,"
+            " CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)"
+            " AS violations, CAST(COUNT(*) AS BIGINT) AS n_checked"
+            " FROM lineitem l LEFT JOIN orders o"
+            " ON o.o_orderkey = l.l_orderkey"
+            " UNION ALL SELECT 'in_set(l_returnflag)',"
+            " COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N')), COUNT(*)"
+            " FROM lineitem"
+            " UNION ALL SELECT 'not_null(l_quantity)',"
+            " COUNT(*) FILTER (l_quantity IS NULL), COUNT(*) FROM lineitem"
+            " UNION ALL SELECT 'range(l_discount)',"
+            " COUNT(*) FILTER (l_discount < 0.0 OR l_discount > 0.05),"
+            " COUNT(*) FROM lineitem"
+            " UNION ALL SELECT 'unique(l_orderkey)',"
+            " COUNT(*) - COUNT(DISTINCT l_orderkey), COUNT(*) FROM lineitem"
         ),
         "user_mode_type": (
             "WITH c AS (SELECT user_id, event_type,"
