@@ -3775,6 +3775,101 @@ def _q_validate_lineitem(sf_dir: str):
     )
 
 
+def _q_psi_value_drift(sf_dir: str):
+    """Population Stability Index of `value` between the first and
+    second half of the month (the standard distribution-drift monitor):
+    fixed equal-width bins, per-batch bin-count partials (only
+    (period, bin, n) rows leave workers), PSI folded from the tiny
+    contingency table."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    BINS = 10
+    LO, HI = 0.0, 100.0
+    SPLIT = "2024-01-16"
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        per = np.where(
+            b["ts"].to_numpy(dtype="datetime64[us]")
+            < np.datetime64(SPLIT, "us"),
+            "p1",
+            "p2",
+        )
+        v = b["value"].to_numpy(dtype="float64")
+        binidx = np.clip(
+            ((v - LO) / (HI - LO) * BINS).astype(np.int64), 0, BINS - 1
+        )
+        g = (
+            pd.DataFrame({"per": per, "bin": binidx})
+            .groupby(["per", "bin"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "n"})
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    tab = (
+        parts.groupby(["per", "bin"], as_index=False)["n"].sum()
+        .pivot(index="bin", columns="per", values="n")
+        .reindex(range(BINS))
+        .fillna(0.0)
+    )
+    p = tab.get("p1", pd.Series(0.0, index=tab.index)).to_numpy(dtype=float)
+    q = tab.get("p2", pd.Series(0.0, index=tab.index)).to_numpy(dtype=float)
+    eps = 1e-6
+    pr = np.maximum(p / max(p.sum(), 1.0), eps)
+    qr = np.maximum(q / max(q.sum(), 1.0), eps)
+    psi = float(((qr - pr) * np.log(qr / pr)).sum())
+    return pd.DataFrame({"metric": ["psi_value"], "psi": [round(psi, 6)]})
+
+
+def _q_token_budget_select(sf_dir: str):
+    """Token-budget curriculum selection: order docs by (quality
+    proxy desc, id), keep while the RUNNING token total stays within
+    the budget — grouped_cumsum over one global window (the designed
+    hot-key case: interior runs fold locally, O(blocks) boundary
+    offsets cross the driver)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import rank, textstats
+
+    BUDGET = 10_000
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(
+        lambda b: textstats.token_count_batch(b)[
+            ["doc_id", "n_chars", "n_words"]
+        ],
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.assign(
+            g=np.int64(0), neg_chars=-b["n_chars"].to_numpy()
+        ),
+        batch_format="pandas",
+    )
+    run = rank.grouped_cumsum(
+        docs, ["g"], ["neg_chars", "doc_id"], "n_words"
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["running_sum"].to_numpy(dtype="float64") <= BUDGET
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[m],
+                "cum_tokens": b["running_sum"].to_numpy()[m].astype("int64"),
+            }
+        )
+
+    return run.map_batches(keep, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -3950,6 +4045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_boilerplate": _q_turn_boilerplate,
         "role_text_stats": _q_role_text_stats,
         "validate_lineitem": _q_validate_lineitem,
+        "psi_value_drift": _q_psi_value_drift,
+        "token_budget_select": _q_token_budget_select,
     }
 
 
@@ -4755,6 +4852,30 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         "user_median_value": (
             "SELECT user_id, ROUND(quantile_disc(value, 0.5), 6)"
             " AS median_value FROM events GROUP BY user_id"
+        ),
+        "psi_value_drift": (
+            "WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'"
+            " THEN 'p1' ELSE 'p2' END per,"
+            " LEAST(GREATEST(CAST(FLOOR(value / 10.0) AS BIGINT), 0), 9) bin,"
+            " COUNT(*) n FROM events GROUP BY 1, 2),"
+            " t AS (SELECT bin,"
+            " GREATEST(COALESCE(SUM(n) FILTER (per = 'p1'), 0)"
+            "   / (SELECT SUM(n) FROM b WHERE per = 'p1'), 1e-6) pr,"
+            " GREATEST(COALESCE(SUM(n) FILTER (per = 'p2'), 0)"
+            "   / (SELECT SUM(n) FROM b WHERE per = 'p2'), 1e-6) qr"
+            " FROM b GROUP BY bin)"
+            " SELECT 'psi_value' AS metric,"
+            " ROUND(SUM((qr - pr) * ln(qr / pr)), 6) AS psi FROM t"
+        ),
+        "token_budget_select": (
+            "WITH t AS (SELECT doc_id, n_chars,"
+            " len(regexp_extract_all(coalesce(text, ''), '\\S+')) nw"
+            " FROM documents),"
+            " r AS (SELECT doc_id, SUM(nw) OVER ("
+            " ORDER BY n_chars DESC, doc_id"
+            " ROWS UNBOUNDED PRECEDING) cum_tokens FROM t)"
+            " SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens"
+            " FROM r WHERE cum_tokens <= 10000"
         ),
         "validate_lineitem": (
             "SELECT 'fk_exists(l_orderkey)' AS rule,"

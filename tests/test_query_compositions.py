@@ -40,6 +40,9 @@ NEW_GATES = [
     "user_median_value",
     "user_mode_type",
     "mean_gap_per_type",
+    "validate_lineitem",
+    "psi_value_drift",
+    "token_budget_select",
 ]
 
 
