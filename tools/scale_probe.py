@@ -505,6 +505,111 @@ def main_round3b() -> None:
     ray.shutdown()
 
 
+ROUND3C = "--round3c" in sys.argv
+
+
+def main_round3c() -> None:
+    """Reproducible runs of the third-block manual probes: ann_join at
+    1M x 64 (balanced data-sampled centroids AND adversarial collapsed
+    centroids, salted), user co-occurrence with the blocking valve,
+    and rank-and-select grouped median — the latter two over the 20M
+    events table (add --skew for the hot-user leg)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    import ray
+    import ray.data
+
+    ann_src = make_ann_input()
+    ev_src = make_input()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray.ops import annjoin, rank
+    from matomo_log_analytics_ray.ops import default_join_partitions
+    from matomo_log_analytics_ray.ops.dedup import (
+        bucket_pairs, sorted_group_counts,
+    )
+
+    results = {}
+
+    def timed(name, denom, fn):
+        t0 = time.monotonic()
+        out = fn()
+        n_out = len(out) if isinstance(out, pd.DataFrame) else out.count()
+        dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 2), "rows_out": int(n_out),
+                         "items_per_sec": round(denom / dt)}
+        print(f"{name}: {results[name]}", flush=True)
+
+    f = sorted(glob.glob(f"{ann_src}/*.parquet"))[0]
+    head = pq_.read_table(f).slice(0, 512)
+    cent_good = np.stack(
+        [np.asarray(v) for v in head["embedding"].to_pylist()]
+    ).astype(np.float64)
+    cent_bad = np.random.default_rng(0x5E0).normal(size=(512, ANN_DIM))
+
+    def sides():
+        ds = ray.data.read_parquet(ann_src)
+        return (
+            ds.map_batches(lambda b: b[b["vec_id"] % 20 != 0],
+                           batch_format="pandas"),
+            ds.map_batches(lambda b: b[b["vec_id"] % 20 == 0],
+                           batch_format="pandas"),
+        )
+
+    l, r = sides()
+    timed("ann_join_950k_data_centroids", ANN_ROWS, lambda: annjoin.ann_join(
+        l, r, cent_good, k=1, max_group=50_000))
+    l, r = sides()
+    timed("ann_join_950k_collapsed_centroids", ANN_ROWS,
+          lambda: annjoin.ann_join(l, r, cent_bad, k=1, max_group=50_000))
+
+    ev = ray.data.read_parquet(ev_src)
+
+    def cooc():
+        def day_user(b):
+            day = b["ts"].to_numpy(dtype="datetime64[us]").astype(
+                "datetime64[D]")
+            return pd.DataFrame(
+                {"day": day.astype("int64"),
+                 "user_id": b["user_id"].to_numpy()}
+            ).drop_duplicates()
+
+        pairs_in = sorted_group_counts(
+            ev.map_batches(day_user, batch_format="pandas"),
+            ["day", "user_id"],
+        ).drop_columns(["n"])
+        pairs = bucket_pairs(pairs_in, ["day"], "user_id", max_bucket=2000)
+        return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_days")
+
+    timed("user_cooccurrence_valve2000", N_ROWS, cooc)
+
+    def median():
+        np_join = default_join_partitions()
+        r_ = rank.grouped_rank(
+            ev, ["user_id"], ["value", "event_id"], rank_col="rnk"
+        ).select_columns(["user_id", "value", "rnk"]).repartition(np_join)
+        c_ = sorted_group_counts(
+            ev.select_columns(["user_id"]), ["user_id"]
+        ).repartition(np_join)
+        j = r_.join(c_, "inner", num_partitions=np_join, on=("user_id",))
+
+        def keep(b):
+            want = (b["n"].to_numpy(dtype=np.int64) + 1) // 2
+            m = b["rnk"].to_numpy(dtype=np.int64) == want
+            return pd.DataFrame({"user_id": b["user_id"].to_numpy()[m]})
+
+        return j.map_batches(keep, batch_format="pandas")
+
+    timed("grouped_median_rank_select", N_ROWS, median)
+
+    print(json.dumps({"n_rows": N_ROWS, "n_vecs": ANN_ROWS, "skew": SKEW,
+                      "num_cpus": 32, "results": results}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if ANN:
         main_ann()
@@ -516,5 +621,7 @@ if __name__ == "__main__":
         main_newops()
     elif ROUND3B:
         main_round3b()
+    elif ROUND3C:
+        main_round3c()
     else:
         main()
