@@ -3870,6 +3870,99 @@ def _q_token_budget_select(sf_dir: str):
     return run.map_batches(keep, batch_format="pandas")
 
 
+def _q_tool_transitions(sf_dir: str):
+    """Tool-usage Markov transitions over the flagship transcripts:
+    LAG(tool) per conversation ordered by turn_idx, bounded
+    (|tools|^2) transition counts — the event_transitions machinery
+    applied to the north-rule payload. Null tools (plain turns) code
+    as '' so assistant->tool hops are visible."""
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops import window
+
+    ds = ray.data.read_parquet(
+        _transcripts(sf_dir), columns=["conv_id", "turn_idx", "tool"]
+    )
+    tools = sorted(
+        ("" if r["tool"] is None else r["tool"])
+        for r in ds.groupby("tool").count().take_all()
+    )
+    code = {t: i for i, t in enumerate(tools)}
+    code_ref = ray.put(code)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(code_ref)
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"].astype("int64"),
+                "tool_code": b["tool"].fillna("").map(c).astype("int64"),
+            }
+        )
+
+    lagged = window.grouped_lag(
+        ds.map_batches(encode, batch_format="pandas"),
+        ["conv_id"],
+        ["turn_idx"],
+        "tool_code",
+        n=1,
+        out_col="prev_code",
+    )
+
+    import numpy as np
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        prev = b["prev_code"].to_numpy(dtype="float64")
+        ok = ~np.isnan(prev)
+        g = pd.DataFrame(
+            {
+                "p": prev[ok].astype("int64"),
+                "n": b["tool_code"].to_numpy(dtype="int64")[ok],
+            }
+        ).groupby(["p", "n"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    agg = (
+        lagged.map_batches(partials, batch_format="pandas")
+        .groupby(["p", "n"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    inv = {i: t for t, i in code.items()}
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev_tool": b["p"].map(inv),
+                "next_tool": b["n"].map(inv),
+                "cnt": b["cnt"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pandas")
+
+
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (rows-only gate — no SQL
+    twin for DEFLATE; tests/test_textstats_extra.py pins the kernel
+    against direct zlib calls): highly repetitive text compresses far
+    below the corpus norm, random noise barely compresses — the
+    Gopher/FineWeb-style cheap quality heuristic. Stateless
+    map_batches; zlib runs at C speed per doc."""
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.compression_ratio_batch, batch_format="pandas"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -4047,6 +4140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem": _q_validate_lineitem,
         "psi_value_drift": _q_psi_value_drift,
         "token_budget_select": _q_token_budget_select,
+        "tool_transitions": _q_tool_transitions,
+        "compression_ratio": _q_compression_ratio,
     }
 
 
@@ -4716,6 +4811,15 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             f" CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs"
             f" FROM read_parquet('{tpath}') GROUP BY 1"
             f" HAVING COUNT(DISTINCT conv_id) >= 2"
+        ),
+        "tool_transitions": (
+            f"WITH l AS (SELECT coalesce(tool, '') AS t,"
+            f" LAG(coalesce(tool, '')) OVER ("
+            f" PARTITION BY conv_id ORDER BY turn_idx) pt"
+            f" FROM read_parquet('{tpath}'))"
+            f" SELECT pt AS prev_tool, t AS next_tool,"
+            f" CAST(COUNT(*) AS BIGINT) AS cnt FROM l"
+            f" WHERE pt IS NOT NULL GROUP BY 1, 2"
         ),
         "role_text_stats": (
             f"SELECT role, coalesce(tool, '') AS tool,"

@@ -621,3 +621,26 @@ def mutual_information_terms(
         .head(top_m)
         .reset_index(drop=True)
     )
+
+
+def compression_ratio_batch(
+    batch: pd.DataFrame, text_col: str = "text", level: int = 6
+) -> pd.DataFrame:
+    """zlib compressed-size / raw-size per doc — the cheap
+    redundancy/quality heuristic (repetitive boilerplate compresses
+    hard, natural prose sits mid-range, noise stays near 1.0). The
+    per-doc zlib call runs in C; empty docs report ratio 0."""
+    import zlib
+
+    t = batch[text_col].fillna("")
+    raw = t.str.len().to_numpy(dtype=np.int64)
+    comp = np.fromiter(
+        (len(zlib.compress(s.encode("utf-8"), level)) for s in t),
+        dtype=np.int64,
+        count=len(t),
+    )
+    out = batch[[c for c in batch.columns if c != text_col]].copy()
+    out["compression_ratio"] = np.round(
+        np.where(raw > 0, comp / np.maximum(raw, 1), 0.0), 6
+    )
+    return out

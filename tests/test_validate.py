@@ -56,3 +56,31 @@ def test_validate_clean_data_zero_violations():
         ],
     )
     assert (out["violations"] == 0).all()
+
+
+def test_compression_ratio_kernel():
+    """compression_ratio_batch equals direct zlib, discriminates
+    repetitive vs noisy text, and handles empty docs."""
+    import zlib
+
+    from matomo_log_analytics_ray.ops import textstats
+
+    rng = np.random.default_rng(6)
+    noise = "".join(chr(33 + i) for i in rng.integers(0, 90, size=400))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["spam " * 100, noise, ""],
+        }
+    )
+    out = textstats.compression_ratio_batch(df).set_index("doc_id")
+    for did, text in zip(df["doc_id"], df["text"]):
+        want = (
+            round(len(zlib.compress(text.encode(), 6)) / len(text), 6)
+            if text
+            else 0.0
+        )
+        assert abs(out.loc[did, "compression_ratio"] - want) < 1e-9
+    assert (
+        out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    )
