@@ -289,6 +289,29 @@ def main() -> None:
         "user_cooccurrence",
         "char_entropy",
         "rolling_7d_active_users",
+        # round-3 third/fourth blocks
+        "q18_large_orders",
+        "daily_top_event_types",
+        "bloom_semi_join_orders",
+        "blended_quality_topk",
+        "mmr_select_topk",
+        "semantic_decontam",
+        "per_source_cap",
+        "conv_reassemble",
+        "fuzzy_pairs",
+        "user_type_entropy",
+        "source_vocab_overlap",
+        "winsorized_mean",
+        "user_median_value",
+        "user_mode_type",
+        "mean_gap_per_type",
+        "turn_boilerplate",
+        "role_text_stats",
+        "tool_transitions",
+        "validate_lineitem",
+        "psi_value_drift",
+        "token_budget_select",
+        "compression_ratio",
     )
     names = headline + extended if "--extended" in sys.argv else headline
 
