@@ -3963,6 +3963,45 @@ def _q_compression_ratio(sf_dir: str):
     )
 
 
+def _q_ann_join_probe2(sf_dir: str):
+    """Multi-probe similarity join (IVF recall knob, nprobe=2): each
+    left vector searches its 2 nearest clusters; cross-probe merge is
+    an exact per-qid top-k over (qid, nn_id, score) projections
+    (ops/annjoin.ann_join(probes=2)). Fixed one-hot centroids keep it
+    SQL-replayable."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import annjoin
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = len(head["embedding"].to_pylist()[0])
+    cent = np.eye(8, dim) * 10.0
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    left = emb.filter(expr="label != 0").select_columns(["vec_id", "embedding"])
+    right = emb.filter(expr="label == 0").select_columns(["vec_id", "embedding"])
+    out = annjoin.ann_join(left, right, cent, k=1, probes=2)
+
+    def proj(b):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "qid": b["qid"].to_numpy(),
+                "nn_id": b["nn_id"].to_numpy(),
+                "score": b["score"].round(4),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -4142,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": _q_token_budget_select,
         "tool_transitions": _q_tool_transitions,
         "compression_ratio": _q_compression_ratio,
+        "ann_join_probe2": _q_ann_join_probe2,
     }
 
 
@@ -5059,6 +5099,37 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
             " PARTITION BY source ORDER BY hk, doc_id) rn FROM h)"
             " SELECT source, doc_id FROM r WHERE rn <= 50"
+        ),
+        "ann_join_probe2": (
+            "WITH c AS ("
+            "  SELECT cid, list_transform("
+            "    range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),"
+            "    i -> CASE WHEN i = cid + 1 THEN 10.0 ELSE 0.0 END) AS cv"
+            "  FROM (SELECT unnest(generate_series(0, 7)) AS cid)"
+            "), e AS ("
+            "  SELECT vec_id, label,"
+            "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+            "  FROM embeddings"
+            "), lp AS ("
+            "  SELECT vec_id, cid FROM ("
+            "    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            "      PARTITION BY e.vec_id"
+            "      ORDER BY list_distance(e.v, c.cv), c.cid) AS rn"
+            "    FROM e CROSS JOIN c WHERE e.label <> 0"
+            "  ) WHERE rn <= 2"
+            "), ra AS ("
+            "  SELECT e.vec_id, arg_min(c.cid, list_distance(e.v, c.cv)) AS cl"
+            "  FROM e CROSS JOIN c WHERE e.label = 0 GROUP BY e.vec_id"
+            "), p AS ("
+            "  SELECT lp.vec_id AS qid, r.vec_id AS nn_id,"
+            "    list_cosine_similarity(le.v, re.v) AS s"
+            "  FROM lp JOIN ra r ON r.cl = lp.cid"
+            "  JOIN e le ON le.vec_id = lp.vec_id"
+            "  JOIN e re ON re.vec_id = r.vec_id"
+            "), rk AS ("
+            "  SELECT qid, nn_id, s, ROW_NUMBER() OVER ("
+            "    PARTITION BY qid ORDER BY s DESC, nn_id) AS rn FROM p"
+            ") SELECT qid, nn_id, ROUND(s, 4) AS score FROM rk WHERE rn = 1"
         ),
         "char_entropy": (
             "WITH c AS (SELECT doc_id, unnest(string_split_regex(text, ''))"

@@ -38,7 +38,12 @@ def _assign_side(
     side: str,
     id_col: str,
     vec_col: str,
+    probes: int = 1,
 ) -> "ray.data.Dataset":
+    """probes > 1 replicates each row into its ``probes`` nearest
+    clusters (distance ties break to the lower cluster id — stable
+    argsort — matching the SQL ROW_NUMBER probe convention)."""
+
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cent_ref)
         if len(b) == 0:
@@ -52,11 +57,25 @@ def _assign_side(
             )
         X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         d = -2.0 * (X @ c.T) + (c * c).sum(axis=1)[None, :]
+        ids = b[id_col].to_numpy().astype(np.int64)
+        blobs = [x.tobytes() for x in X]
+        if probes <= 1:
+            return pd.DataFrame(
+                {
+                    "_id": ids,
+                    "_emb": blobs,
+                    "cluster": d.argmin(axis=1).astype(np.int64),
+                    "side": side,
+                }
+            )
+        p = min(probes, d.shape[1])
+        near = np.argsort(d, axis=1, kind="stable")[:, :p]
+        rep = np.repeat(np.arange(len(b)), p)
         return pd.DataFrame(
             {
-                "_id": b[id_col].to_numpy().astype(np.int64),
-                "_emb": [x.tobytes() for x in X],
-                "cluster": d.argmin(axis=1).astype(np.int64),
+                "_id": ids[rep],
+                "_emb": pd.Series(blobs, dtype=object).iloc[rep].to_numpy(),
+                "cluster": near.ravel().astype(np.int64),
                 "side": side,
             }
         )
@@ -73,11 +92,19 @@ def ann_join(
     vec_col: str = "embedding",
     tile: int = 4096,
     max_group: int | None = 100_000,
+    probes: int = 1,
 ) -> "ray.data.Dataset":
     """(qid, nn_id, score, rank): for each left row, its top-k
     same-cluster right rows by cosine (score desc, nn_id asc ties).
-    Left rows whose cluster holds no right member emit nothing —
-    IVF nprobe=1 semantics.
+    Left rows whose probed clusters hold no right member emit
+    nothing.
+
+    ``probes`` is the IVF recall knob: each left row searches its
+    ``probes`` nearest clusters (replicated left rows — right vectors
+    are never duplicated by probing).  A right vector lives in exactly
+    one cluster, so candidates stay distinct and the cross-probe merge
+    is an exact per-qid top-k over a (qid, nn_id, score) projection —
+    two cheap extra sorts, no dedup pass.
 
     ``max_group`` is the skew valve: a cluster whose LEFT side exceeds
     it (centroid collapse, untrained centroids) is salted into
@@ -88,7 +115,7 @@ def ann_join(
     m x |R_hot| extra right rows for hot clusters only."""
     cent = np.asarray(centroids, dtype=np.float64)
     ref = ray.put(cent)
-    al = _assign_side(left, ref, "l", id_col, vec_col)
+    al = _assign_side(left, ref, "l", id_col, vec_col, probes=probes)
     ar = _assign_side(right, ref, "r", id_col, vec_col)
 
     if max_group is not None:
@@ -189,6 +216,32 @@ def ann_join(
             )
         return pd.concat(out, ignore_index=True)
 
-    return tagged.groupby(group_key).map_groups(
+    out = tagged.groupby(group_key).map_groups(
         join_group, batch_format="pandas"
+    )
+    if probes <= 1:
+        return out
+    # cross-probe merge: exact per-qid top-k over the candidate
+    # projection, then ROW_NUMBER for the rank column
+    from .rank import grouped_rank
+    from .topk import grouped_topk
+
+    cand = out.select_columns(["qid", "nn_id", "score"])
+    merged = grouped_topk(
+        cand, ["qid"], ["score", "nn_id"], k, descending=[True, False]
+    )
+    ranked = grouped_rank(
+        merged, ["qid"], ["score", "nn_id"], rank_col="_rn",
+        descending=[True, False],
+    )
+    return ranked.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "qid": b["qid"].to_numpy(),
+                "nn_id": b["nn_id"].to_numpy(),
+                "score": b["score"].to_numpy(),
+                "rank": (b["_rn"].to_numpy() - 1).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
     )

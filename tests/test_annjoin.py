@@ -17,19 +17,19 @@ def _make(n=300, d=6, seed=31):
     )
 
 
-def _reference(ldf, rdf, cent, k):
-    def assign(V):
-        d = -2.0 * (V @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        return d.argmin(axis=1)
+def _reference(ldf, rdf, cent, k, probes=1):
+    def dists(V):
+        return -2.0 * (V @ cent.T) + (cent * cent).sum(axis=1)[None, :]
 
     LV = np.stack(ldf["embedding"].to_numpy())
     RV = np.stack(rdf["embedding"].to_numpy())
     ln = LV / np.linalg.norm(LV, axis=1, keepdims=True)
     rn = RV / np.linalg.norm(RV, axis=1, keepdims=True)
-    lcl, rcl = assign(LV), assign(RV)
+    lcl = np.argsort(dists(LV), axis=1, kind="stable")[:, :probes]
+    rcl = dists(RV).argmin(axis=1)
     out = []
     for i in range(len(ldf)):
-        mask = rcl == lcl[i]
+        mask = np.isin(rcl, lcl[i])
         if not mask.any():
             continue
         rids = rdf["vec_id"].to_numpy()[mask]
@@ -69,6 +69,47 @@ def test_ann_join_matches_reference_k1_and_k3():
             np.testing.assert_allclose(
                 [c for _, _, c, _ in got], [c for _, _, c, _ in want], atol=1e-6
             )
+
+
+def test_ann_join_multiprobe_matches_reference():
+    df = _make(seed=41)
+    ldf, rdf = df.iloc[:180], df.iloc[180:]
+    cent = np.random.default_rng(3).normal(size=(6, 6))
+    for probes in (2, 3):
+        want = _reference(ldf, rdf, cent, k=2, probes=probes)
+        got = _got_tuples(
+            annjoin.ann_join(
+                ray.data.from_pandas(ldf).repartition(3),
+                ray.data.from_pandas(rdf).repartition(2),
+                cent,
+                k=2,
+                probes=probes,
+            )
+        )
+        assert [(a, b, d) for a, b, _, d in got] == [
+            (a, b, d) for a, b, _, d in want
+        ]
+
+
+def test_ann_join_more_probes_more_recall():
+    df = _make(seed=51)
+    ldf, rdf = df.iloc[:200], df.iloc[200:]
+    cent = np.random.default_rng(5).normal(size=(8, 6))
+
+    def best_scores(probes):
+        out = annjoin.ann_join(
+            ray.data.from_pandas(ldf),
+            ray.data.from_pandas(rdf),
+            cent,
+            k=1,
+            probes=probes,
+        ).to_pandas()
+        return out.set_index("qid")["score"]
+
+    s1, s3 = best_scores(1), best_scores(3)
+    common = s1.index.intersection(s3.index)
+    assert (s3.loc[common] >= s1.loc[common] - 1e-12).all()
+    assert len(s3) >= len(s1)
 
 
 def test_ann_join_salted_path_identical():
