@@ -4002,6 +4002,55 @@ def _q_ann_join_probe2(sf_dir: str):
     return out.map_batches(proj, batch_format="pandas")
 
 
+def _q_distinct_ngram_ratio(sf_dir: str):
+    """Corpus diversity (distinct-n): unique word trigrams / total word
+    trigrams — the standard repetitiveness metric for generated text.
+    Trigram hashes fold through one sorted-run distinct pass (strings
+    never shuffle); totals are per-batch partial sums."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops import hashing
+    from matomo_log_analytics_ray.ops.dedup import sorted_group_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tri(b: pd.DataFrame) -> pd.DataFrame:
+        wh, off = hashing.tokenize_words(b["text"])
+        sh, _ = hashing.shingle_hashes(wh, off, k=3)
+        # only trigrams of docs with >= 3 words count (shingle_hashes
+        # falls back to word hashes for shorter docs — exclude them)
+        lens = np.diff(off)
+        keep_docs = lens >= 3
+        # rebuild trigram list for kept docs only
+        rows = []
+        for i in np.flatnonzero(keep_docs):
+            w = wh[off[i] : off[i + 1]]
+            h = hashing.combine(
+                hashing.combine(w[:-2], w[1:-1]), w[2:]
+            )
+            rows.append(h)
+        flat = (
+            np.concatenate(rows) if rows else np.empty(0, dtype=np.uint64)
+        )
+        return pd.DataFrame({"h": flat.astype("uint64")})
+
+    grams = docs.map_batches(tri, batch_format="pandas").materialize()
+    total = grams.count()
+    distinct = sorted_group_counts(grams, ["h"]).count()
+    return pd.DataFrame(
+        {
+            "n": [3],
+            "distinct_ngrams": [int(distinct)],
+            "total_ngrams": [int(total)],
+            "distinct_ratio": [round(distinct / max(total, 1), 6)],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -4182,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_transitions": _q_tool_transitions,
         "compression_ratio": _q_compression_ratio,
         "ann_join_probe2": _q_ann_join_probe2,
+        "distinct_ngram_ratio": _q_distinct_ngram_ratio,
     }
 
 
@@ -5099,6 +5149,18 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
             " PARTITION BY source ORDER BY hk, doc_id) rn FROM h)"
             " SELECT source, doc_id FROM r WHERE rn <= 50"
+        ),
+        "distinct_ngram_ratio": (
+            "WITH w AS (SELECT regexp_extract_all(lower(coalesce(text, '')),"
+            " '[a-z0-9]+') ws FROM documents),"
+            " t AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] g"
+            "   FROM w, LATERAL (SELECT unnest(generate_series(1,"
+            "     len(ws) - 2)) AS i) s)"
+            " SELECT CAST(3 AS BIGINT) AS n,"
+            " CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,"
+            " CAST(COUNT(*) AS BIGINT) AS total_ngrams,"
+            " ROUND(COUNT(DISTINCT g) / COUNT(*), 6) AS distinct_ratio"
+            " FROM t"
         ),
         "ann_join_probe2": (
             "WITH c AS ("

@@ -43,6 +43,8 @@ NEW_GATES = [
     "validate_lineitem",
     "psi_value_drift",
     "token_budget_select",
+    "ann_join_probe2",
+    "distinct_ngram_ratio",
 ]
 
 
