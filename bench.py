@@ -312,6 +312,8 @@ def main() -> None:
         "psi_value_drift",
         "token_budget_select",
         "compression_ratio",
+        "ann_join_probe2",
+        "distinct_ngram_ratio",
     )
     names = headline + extended if "--extended" in sys.argv else headline
 
