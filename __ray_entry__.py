@@ -4051,6 +4051,48 @@ def _q_distinct_ngram_ratio(sf_dir: str):
     )
 
 
+def _q_cube_event_day(sf_dir: str):
+    """Full CUBE over (event_type, day): the rollup fold extended with
+    the per-day subtotal level. One distributed shuffle computes the
+    fine level; all three coarser grouping sets are exact folds of it
+    ('ALL' marks aggregated dimensions)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.assign(
+            day=b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")
+        ).groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    fine["n"] = fine["n"].astype("int64")
+    by_type = (
+        fine.groupby("event_type", as_index=False)["n"].sum().assign(day="ALL")
+    )
+    by_day = (
+        fine.groupby("day", as_index=False)["n"].sum().assign(event_type="ALL")
+    )
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "day": ["ALL"], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_day, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "day", "n"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ensure deterministic inputs exist before the driver's oracle runs
     from matomo_log_analytics_ray import datagen
@@ -4232,6 +4274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "ann_join_probe2": _q_ann_join_probe2,
         "distinct_ngram_ratio": _q_distinct_ngram_ratio,
+        "cube_event_day": _q_cube_event_day,
     }
 
 
@@ -5149,6 +5192,13 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
             " PARTITION BY source ORDER BY hk, doc_id) rn FROM h)"
             " SELECT source, doc_id FROM r WHERE rn <= 50"
+        ),
+        "cube_event_day": (
+            "WITH e AS (SELECT event_type,"
+            " strftime(CAST(ts AS DATE), '%Y-%m-%d') d FROM events)"
+            " SELECT coalesce(event_type, 'ALL') AS event_type,"
+            " coalesce(d, 'ALL') AS day, CAST(COUNT(*) AS BIGINT) AS n"
+            " FROM e GROUP BY CUBE (event_type, d)"
         ),
         "distinct_ngram_ratio": (
             "WITH w AS (SELECT regexp_extract_all(lower(coalesce(text, '')),"

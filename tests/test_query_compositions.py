@@ -45,6 +45,7 @@ NEW_GATES = [
     "token_budget_select",
     "ann_join_probe2",
     "distinct_ngram_ratio",
+    "cube_event_day",
 ]
 
 
