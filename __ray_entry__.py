@@ -3061,9 +3061,11 @@ def _q_user_cooccurrence(sf_dir: str):
     number of shared days.  Distinct (day, user) via sorted-run
     counting, pair fan-out through the banded bucket_pairs kernel (a
     hot day emits pairs in-block, never via map_groups), shared-day
-    counts via one more sorted-run pass.  max_bucket is the documented
-    skew valve; it is set above the day cardinality here so the gate
-    is exact."""
+    counts via one more sorted-run pass.  max_bucket caps the DISTINCT
+    USERS PER DAY that enter the pair fan-out (a day with more active
+    users keeps only its smallest max_bucket user ids — bucket_pairs
+    logs a warning when that happens); it is set above sf0.01's
+    per-day active-user cardinality here so the gate is exact."""
     import pandas as pd
     import ray.data
 
@@ -3801,6 +3803,11 @@ def _q_psi_value_drift(sf_dir: str):
             "p2",
         )
         v = b["value"].to_numpy(dtype="float64")
+        # Null convention shared with the oracle: NULL/NaN values are
+        # dropped on BOTH sides (NaN through astype(int64) is
+        # undefined — it must never reach the binning cast).
+        ok = ~np.isnan(v)
+        per, v = per[ok], v[ok]
         binidx = np.clip(
             ((v - LO) / (HI - LO) * BINS).astype(np.int64), 0, BINS - 1
         )
@@ -5094,7 +5101,7 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             "WITH b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'"
             " THEN 'p1' ELSE 'p2' END per,"
             " LEAST(GREATEST(CAST(FLOOR(value / 10.0) AS BIGINT), 0), 9) bin,"
-            " COUNT(*) n FROM events GROUP BY 1, 2),"
+            " COUNT(*) n FROM events WHERE value IS NOT NULL GROUP BY 1, 2),"
             " t AS (SELECT bin,"
             " GREATEST(COALESCE(SUM(n) FILTER (per = 'p1'), 0)"
             "   / (SELECT SUM(n) FROM b WHERE per = 'p1'), 1e-6) pr,"
@@ -5178,8 +5185,11 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " JOIN sz y ON y.source = i.s2"
         ),
         "fuzzy_pairs": (
-            "WITH k AS (SELECT doc_id, text,"
-            " split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)"
+            # NULL convention shared with ops/fuzzyjoin: coalesce(text,'')
+            # on both the blocking key and the verify predicate.
+            "WITH k AS (SELECT doc_id, coalesce(text, '') AS text,"
+            " split_part(coalesce(text, ''), ' ', 1) || ' ' ||"
+            " split_part(coalesce(text, ''), ' ', 2)"
             " AS pfx FROM documents)"
             " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
             " CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist"
@@ -5300,7 +5310,8 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " SELECT day, event_type, n FROM r WHERE rn <= 3"
         ),
         "paragraph_dedup_docs": (
-            "WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),"
+            "WITH w AS (SELECT doc_id,"
+            " string_split(coalesce(text, ''), ' ') ws FROM documents),"
             " p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) idx,"
             "   array_to_string(ws[(i-1)*10+1 : i*10], ' ') para"
             "   FROM w, LATERAL (SELECT unnest(generate_series(1,"

@@ -172,7 +172,16 @@ def _pairs_from_bucket(id_col: str, max_bucket: int = 64):
 
 
 def _ids_to_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
-    ids = ids[:max_bucket]
+    if len(ids) > max_bucket:
+        # loud, bounded (once per run per worker task): the repo
+        # convention is documented caps, never silent ones
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bucket_pairs: bucket with %d ids truncated to max_bucket=%d "
+            "(keeping the smallest ids)", len(ids), max_bucket
+        )
+        ids = ids[:max_bucket]
     a, b = np.triu_indices(len(ids), k=1)
     return ids[a], ids[b]
 

@@ -91,11 +91,22 @@ def fuzzy_pairs(
     np_join = default_join_partitions()
 
     def block_key(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL convention shared with the oracle: text is
+        # coalesce(text, '') on BOTH sides.  The prefix is padded to
+        # exactly ``prefix_words`` tokens ('' for missing words), so a
+        # 1-word doc blocks as 'hello ' — the same key SQL's
+        # split_part(...,1) || ' ' || split_part(...,2) produces.
         words = b[text_col].fillna("").str.split(" ")
-        pfx = words.str[:prefix_words].str.join(" ")
+        nw = words.str.len().to_numpy(dtype=np.int64)
+        pfx = words.str[:prefix_words].str.join(" ").to_numpy(dtype=object)
+        missing = np.maximum(prefix_words - nw, 0)
+        for m in range(1, prefix_words):
+            pad = missing >= m
+            if pad.any():
+                pfx[pad] = pfx[pad] + " "
         return pd.DataFrame(
             {
-                "k": hash_strings(pfx),
+                "k": hash_strings(pd.Series(pfx, dtype=object)),
                 id_col: b[id_col].to_numpy(),
             }
         )
@@ -129,7 +140,7 @@ def fuzzy_pairs(
     def verify(b: pd.DataFrame) -> pd.DataFrame:
         dists = np.fromiter(
             (
-                banded_levenshtein(x, y, max_dist)
+                banded_levenshtein(x or "", y or "", max_dist)
                 for x, y in zip(b["text_a"], b["text_b"])
             ),
             dtype=np.int64,

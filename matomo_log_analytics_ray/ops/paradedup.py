@@ -43,12 +43,12 @@ def paragraph_batch(
     para_words: int = 10,
 ) -> pd.DataFrame:
     """(id, idx, para): consecutive ``para_words``-word windows (last
-    window may be shorter). Empty/whitespace docs emit no rows."""
+    window may be shorter). Split semantics match SQL's
+    string_split(coalesce(text,''), ' '): an empty/NULL doc has ONE
+    word ('') and so emits one '' paragraph; a whitespace-only doc
+    emits its (empty-word) windows — docs never silently vanish."""
     words = b[text_col].fillna("").str.split(" ")
     counts = words.str.len().to_numpy(dtype=np.int64)
-    counts = np.where(
-        b[text_col].fillna("").str.len().to_numpy() == 0, 0, counts
-    )
     n_paras = (counts + para_words - 1) // para_words
     doc_of = np.repeat(np.arange(len(b)), n_paras)
     run_starts = np.concatenate([[0], np.cumsum(n_paras)[:-1]])

@@ -16,10 +16,12 @@ Rules (each a dict):
   beyond the first occurrence per value) — needs one sorted-run pass
 * ``{"rule": "fk_exists", "col": c, "ref": ds, "ref_col": r}`` —
   child keys with no parent: a BROADCAST sorted-array probe when the
-  parent key set is small, else a distributed left_anti-style check
-  via sorted-run counts of the child-key projection joined against
-  parent keys.  Here the broadcast path covers dimension-sized
-  parents; the threshold is explicit.
+  parent key set fits ``broadcast_limit``, else the distributed path:
+  sorted-run counts of the child-key projection LEFT-ANTI hash-joined
+  against the parent keys (only (key, n) winner rows move), so the
+  rule scales to fact-sized parents.  NULL child keys count as
+  violations on both paths (SQL LEFT JOIN semantics: NULL never
+  matches a parent); keys are int64 by contract (documented).
 
 Row-scale rules (not_null/range/in_set) fold per batch — only
 (rule, partial_count) rows leave workers.  Output: one row per rule
@@ -45,6 +47,7 @@ def _rule_name(r: dict) -> str:
 def validate(
     ds: "ray.data.Dataset",
     rules: list[dict],
+    broadcast_limit: int = _BCAST_LIMIT,
 ) -> pd.DataFrame:
     """Evaluate all rules; returns a small DataFrame
     (rule, violations, n_checked) — driver holds O(rules) rows."""
@@ -93,36 +96,80 @@ def validate(
                 (_rule_name(r), int(f["d"].sum()), int(f["t"].sum()))
             )
         elif r["rule"] == "fk_exists":
-            ref_keys = r["ref"].select_columns([r["ref_col"]])
+            col, refc = r["col"], r["ref_col"]
+            ref_keys = r["ref"].select_columns([refc]).materialize()
             n_ref = ref_keys.count()
-            if n_ref > _BCAST_LIMIT:
-                raise NotImplementedError(
-                    "fk_exists beyond the broadcast limit: route through "
-                    "a left_anti hash join on the child-key projection "
-                    "(ops/delta.upsert's anti path) — not needed for "
-                    "dimension-sized parents"
+            if n_ref <= broadcast_limit:
+                keys = np.sort(
+                    ref_keys.to_pandas()[refc].to_numpy(dtype=np.int64)
                 )
-            keys = np.sort(
-                ref_keys.to_pandas()[r["ref_col"]].to_numpy(dtype=np.int64)
-            )
-            kref = ray.put(keys)
+                kref = ray.put(keys)
 
-            def fk_partials(b: pd.DataFrame) -> pd.DataFrame:
-                k = ray.get(kref)
-                v = b[r["col"]].to_numpy(dtype=np.int64)
-                if len(k) == 0:
-                    bad = len(v)
+                def fk_partials(b: pd.DataFrame) -> pd.DataFrame:
+                    k = ray.get(kref)
+                    s = b[col]
+                    na = s.isna().to_numpy()
+                    v = s[~na].to_numpy(dtype=np.int64)
+                    bad = int(na.sum())  # NULL child key: violation
+                    if len(k) == 0:
+                        bad += len(v)
+                    elif len(v):
+                        pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
+                        bad += int((k[pos] != v).sum())
+                    return pd.DataFrame({"d": [bad], "t": [len(b)]})
+
+                f = ds.select_columns([col]).map_batches(
+                    fk_partials, batch_format="pandas"
+                ).to_pandas()
+                out_rows.append(
+                    (_rule_name(r), int(f["d"].sum()), int(f["t"].sum()))
+                )
+            else:
+                # Distributed path: (child_key, n) winners via sorted
+                # runs (nulls split off per batch as scalar partials),
+                # LEFT-ANTI hash join vs parent keys — only key-sized
+                # projections ever shuffle; the child table does not.
+                from . import default_join_partitions
+
+                child = ds.select_columns([col]).materialize()
+                n_total = child.count()
+
+                def null_partials(b: pd.DataFrame) -> pd.DataFrame:
+                    return pd.DataFrame({"d": [int(b[col].isna().sum())]})
+
+                n_null = int(
+                    child.map_batches(null_partials, batch_format="pandas")
+                    .to_pandas()["d"].sum()
+                )
+                nonnull = child.map_batches(
+                    lambda b: b[b[col].notna()], batch_format="pandas"
+                )
+                counts = sorted_group_counts(nonnull, [col]).materialize()
+                np_join = default_join_partitions()
+                if counts.count() == 0:
+                    missing_rows = 0
                 else:
-                    pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
-                    bad = int((k[pos] != v).sum())
-                return pd.DataFrame({"d": [bad], "t": [len(b)]})
-
-            f = ds.select_columns([r["col"]]).map_batches(
-                fk_partials, batch_format="pandas"
-            ).to_pandas()
-            out_rows.append(
-                (_rule_name(r), int(f["d"].sum()), int(f["t"].sum()))
-            )
+                    missing = counts.join(
+                        ref_keys.map_batches(
+                            lambda b: b.rename(columns={refc: "_pk"}),
+                            batch_format="pandas",
+                        ).repartition(np_join),
+                        "left_anti",
+                        num_partitions=np_join,
+                        on=(col,),
+                        right_on=("_pk",),
+                    )
+                    missing_rows = int(
+                        missing.map_batches(
+                            lambda b: pd.DataFrame(
+                                {"s": [int(b["n"].sum())]}
+                            ),
+                            batch_format="pandas",
+                        ).to_pandas()["s"].sum()
+                    )
+                out_rows.append(
+                    (_rule_name(r), n_null + missing_rows, n_total)
+                )
 
     return (
         pd.DataFrame(out_rows, columns=["rule", "violations", "n_checked"])

@@ -20,16 +20,16 @@ def _make_docs(n=80, seed=13):
         if i % 3 == 0:
             text = shared + " " + text
         rows.append((i, text))
-    rows.append((n, ""))  # empty doc emits no paragraphs
+    rows.append((n, ""))  # empty doc emits ONE '' paragraph (SQL
+    rows.append((n + 1, ""))  # string_split semantics); the second
+    # empty doc's '' paragraph is a repeat and drops in dedup
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
 
 def _para_ref(df, w=10):
     out = []
     for _, r in df.iterrows():
-        if not r["text"]:
-            continue
-        ws = r["text"].split(" ")
+        ws = r["text"].split(" ")  # ''.split(' ') == [''] — one window
         for i in range(0, len(ws), w):
             out.append((r["doc_id"], i // w, " ".join(ws[i : i + w])))
     return pd.DataFrame(out, columns=["doc_id", "idx", "para"])

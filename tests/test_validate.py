@@ -45,6 +45,28 @@ def test_validate_all_rules():
         assert (out["n_checked"] == len(df)).all()
 
 
+def test_fk_exists_distributed_path_and_nulls():
+    """fk_exists beyond the broadcast limit takes the left_anti hash
+    join path; NULL child keys count as violations on BOTH paths
+    (SQL LEFT JOIN semantics)."""
+    child = pd.DataFrame(
+        {"k": pd.array([1, 2, 99, None, 4, 99, None, 3], dtype="Int64")}
+    )
+    ref = pd.DataFrame({"rk": np.arange(1, 5, dtype="int64")})
+    want_bad = 4  # two 99s + two NULLs
+    for nblocks in (1, 3):
+        ds = ray.data.from_pandas(child).repartition(nblocks)
+        refds = ray.data.from_pandas(ref)
+        rules = [{"rule": "fk_exists", "col": "k", "ref": refds, "ref_col": "rk"}]
+        # broadcast path (limit above parent count)
+        out_b = v.validate(ds, rules, broadcast_limit=100).set_index("rule")
+        # distributed left_anti path (limit below parent count)
+        out_d = v.validate(ds, rules, broadcast_limit=2).set_index("rule")
+        for out in (out_b, out_d):
+            assert out.loc["fk_exists(k)", "violations"] == want_bad
+            assert out.loc["fk_exists(k)", "n_checked"] == len(child)
+
+
 def test_validate_clean_data_zero_violations():
     df = pd.DataFrame({"k": [1, 2, 3], "x": [0.1, 0.2, 0.3]})
     out = v.validate(
