@@ -23,6 +23,8 @@ measured; the input is generated once and cached under /tmp/mla_ray.
 
 from __future__ import annotations
 
+from matomo_log_analytics_ray.io import read_parquet as _read_parquet
+
 import json
 import os
 import subprocess
@@ -77,7 +79,7 @@ def run_flagship_timed(path: str) -> tuple[float, int]:
         # one block per shard file: measured faster than Ray's auto
         # split (fewer, fuller tasks; read+parse fused per shard)
         n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-        source = ray.data.read_parquet(path, override_num_blocks=n_files)
+        source = _read_parquet(path, override_num_blocks=n_files)
     else:
         source = path
     ds = flagship.build_pipeline(source)
@@ -162,7 +164,7 @@ def main() -> None:
             out[name] = round(time.monotonic() - t0, 3)
 
         def rd():
-            return ray.data.read_parquet(dpath)
+            return _read_parquet(dpath)
 
         timed("exact_dedup", lambda: dedup.exact_dedup_keep_ids(rd()).count())
         timed("minhash_lsh", lambda: dedup.minhash_lsh_candidates(rd()).count())

@@ -21,3 +21,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Importing the package anywhere (driver or worker) installs the
+# pandas-block schema-metadata shim — see io.install_schema_metadata_shim.
+from . import io as _io  # noqa: E402,F401

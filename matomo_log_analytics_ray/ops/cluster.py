@@ -55,6 +55,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -92,22 +94,41 @@ def _contract(node: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return ids, ids[L]
 
 
-_EMPTY_STATE = {
-    "node": pd.Series([], dtype="int64"),
-    "lab": pd.Series([], dtype="int64"),
-}
+_EMPTY_STATE = pa.table(
+    {
+        "node": pa.array([], type=pa.int64()),
+        "lab": pa.array([], type=pa.int64()),
+    }
+)
 
 
-def _dedupe_pairs(node: np.ndarray, lab: np.ndarray) -> pd.DataFrame:
+def _edges_table(node: np.ndarray, lab: np.ndarray) -> "pa.Table":
+    """Arrow (node, lab) edge table — all round kernels emit Arrow so
+    the sorts/shuffles between rounds see clean, hashable schemas
+    (a pandas block converts via from_pandas, whose b'pandas' footer
+    metadata defeats Ray's schema-dedup fast path)."""
+    return pa.table(
+        {
+            "node": pa.array(node, type=pa.int64()),
+            "lab": pa.array(lab, type=pa.int64()),
+        }
+    )
+
+
+def _col(t: "pa.Table", name: str) -> np.ndarray:
+    return t.column(name).to_numpy(zero_copy_only=False)
+
+
+def _dedupe_pairs(node: np.ndarray, lab: np.ndarray) -> "pa.Table":
     """Within-block (node, lab) dedup — opportunistic, keeps duplicate
     edges from compounding across rounds."""
     if len(node) == 0:
-        return pd.DataFrame(_EMPTY_STATE)
+        return _EMPTY_STATE
     order = np.lexsort((lab, node))
     n, l = node[order], lab[order]
     keep = np.ones(len(n), dtype=bool)
     keep[1:] = (n[1:] != n[:-1]) | (l[1:] != l[:-1])
-    return pd.DataFrame({"node": n[keep], "lab": l[keep]})
+    return _edges_table(n[keep], l[keep])
 
 
 def _runs(node: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -118,41 +139,38 @@ def _runs(node: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, np.cumsum(change) - 1
 
 
-def _symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+def _symmetrize(b: "pa.Table") -> "pa.Table":
     """(u,v) -> (u,v) and (v,u); self-loops dropped."""
-    node = b["node"].to_numpy()
-    lab = b["lab"].to_numpy()
+    node = _col(b, "node")
+    lab = _col(b, "lab")
     m = node != lab
     node, lab = node[m], lab[m]
-    return pd.DataFrame(
-        {
-            "node": np.concatenate([node, lab]),
-            "lab": np.concatenate([lab, node]),
-        }
+    return _edges_table(
+        np.concatenate([node, lab]), np.concatenate([lab, node])
     )
 
 
-def _large_star_block(b: pd.DataFrame) -> pd.DataFrame:
+def _large_star_block(b: "pa.Table") -> "pa.Table":
     """Large-star over a node-sorted block of symmetrized edges: every
     neighbor v > u re-points at m = min(run neighbors + u). Output is
     oriented node > lab."""
     if len(b) == 0:
-        return pd.DataFrame(_EMPTY_STATE)
-    node = b["node"].to_numpy()
-    lab = b["lab"].to_numpy()
+        return _EMPTY_STATE
+    node = _col(b, "node")
+    lab = _col(b, "lab")
     starts, run_id = _runs(node)
     m = np.minimum(np.minimum.reduceat(lab, starts), node[starts])[run_id]
     sel = lab > node
     return _dedupe_pairs(lab[sel], m[sel])
 
 
-def _small_star_block(b: pd.DataFrame) -> pd.DataFrame:
+def _small_star_block(b: "pa.Table") -> "pa.Table":
     """Small-star over a node-sorted block of (node > lab)-oriented
     edges: all smaller neighbors and u itself re-point at m = min(W)."""
     if len(b) == 0:
-        return pd.DataFrame(_EMPTY_STATE)
-    node = b["node"].to_numpy()
-    lab = b["lab"].to_numpy()
+        return _EMPTY_STATE
+    node = _col(b, "node")
+    lab = _col(b, "lab")
     starts, run_id = _runs(node)
     run_min = np.minimum.reduceat(lab, starts)
     m = run_min[run_id]
@@ -181,14 +199,19 @@ def _multiset_signature(rows: "ray.data.Dataset") -> tuple[int, int]:
     consecutive rounds detects it; a collision between two DIFFERENT
     multisets would need the 64-bit mixed-hash sum to coincide
     (~2^-64, engineering-negligible)."""
-    def part(b: pd.DataFrame) -> pd.DataFrame:
+    def part(b: "pa.Table") -> "pa.Table":
         h = hashing.mix(
-            b["node"].to_numpy(dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ^ hashing.mix(b["lab"].to_numpy(dtype=np.uint64))
+            _col(b, "node").astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ hashing.mix(_col(b, "lab").astype(np.uint64))
         )
-        return pd.DataFrame({"n": [np.int64(len(b))], "sig": [h.sum(dtype=np.uint64)]})
+        return pa.table(
+            {
+                "n": pa.array([len(b)], type=pa.int64()),
+                "sig": pa.array([h.sum(dtype=np.uint64)], type=pa.uint64()),
+            }
+        )
 
-    parts = rows.map_batches(part, batch_format="pandas").to_pandas()
+    parts = rows.map_batches(part, batch_format="pyarrow").to_pandas()
     if len(parts) == 0:
         return 0, 0
     total = int(parts["n"].sum())
@@ -223,42 +246,42 @@ def connected_components(
     if num_partitions is None:
         num_partitions = _default_partitions()
 
-    def init(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": b[a_col].to_numpy(),
-                "lab": b[b_col].to_numpy(),
-            }
-        )
+    def init(b: "pa.Table") -> "pa.Table":
+        return _edges_table(_col(b, a_col), _col(b, b_col))
 
     rows = _snapshot(
-        pairs.map_batches(init, batch_format="pandas").repartition(num_partitions)
+        pairs.map_batches(init, batch_format="pyarrow").repartition(num_partitions)
     )
     n_pairs = rows.count()
     if n_pairs == 0:
         return rows.map_batches(
-            lambda b: b[["node", "lab"]].rename(columns={"lab": "cluster_id"}),
-            batch_format="pandas",
+            lambda b: b.rename_columns(["node", "cluster_id"]),
+            batch_format="pyarrow",
         )
     if n_pairs <= small_limit:
-        def solve(b: pd.DataFrame) -> pd.DataFrame:
-            ids, roots = _contract(b["node"].to_numpy(), b["lab"].to_numpy())
-            return pd.DataFrame({"node": ids, "cluster_id": roots})
+        def solve(b: "pa.Table") -> "pa.Table":
+            ids, roots = _contract(_col(b, "node"), _col(b, "lab"))
+            return pa.table(
+                {
+                    "node": pa.array(ids, type=pa.int64()),
+                    "cluster_id": pa.array(roots, type=pa.int64()),
+                }
+            )
 
-        return rows.repartition(1).map_batches(solve, batch_format="pandas")
+        return rows.repartition(1).map_batches(solve, batch_format="pyarrow")
 
     prev = None
     for _ in range(max_iters):
         # large-star: symmetrized edges, larger neighbors re-point at
         # the run min; output comes back oriented node > lab
         rows = _snapshot(
-            rows.map_batches(_symmetrize, batch_format="pandas")
+            rows.map_batches(_symmetrize, batch_format="pyarrow")
             .sort("node")
-            .map_batches(_large_star_block, batch_format="pandas")
+            .map_batches(_large_star_block, batch_format="pyarrow")
         )
         # small-star: smaller neighbors + the node re-point at min(W)
         rows = _snapshot(
-            rows.sort("node").map_batches(_small_star_block, batch_format="pandas")
+            rows.sort("node").map_batches(_small_star_block, batch_format="pyarrow")
         )
         sig = _multiset_signature(rows)
         if sig == prev:
@@ -287,7 +310,10 @@ def connected_components(
     )
     out = dedup.sorted_group_first(all_rows, ["node"], "lab")
     return out.map_batches(
-        lambda b: b.rename(columns={"lab": "cluster_id"}), batch_format="pandas"
+        lambda b: b.rename_columns(
+            ["cluster_id" if c == "lab" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
     ).repartition(num_partitions)
 
 
@@ -313,14 +339,12 @@ def assign_clusters(
         right_on=("node",),
     )
 
-    def resolve(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b[id_col].to_numpy()
-        lab = b["cluster_id"].to_numpy()
-        return pd.DataFrame(
-            {id_col: ids, "cluster_id": np.where(pd.isna(lab), ids, lab).astype(ids.dtype)}
-        )
+    def resolve(b: "pa.Table") -> "pa.Table":
+        ids = b.column(id_col)
+        lab = pc.coalesce(pc.cast(b.column("cluster_id"), ids.type), ids)
+        return pa.table({id_col: ids, "cluster_id": lab})
 
-    return joined.map_batches(resolve, batch_format="pandas")
+    return joined.map_batches(resolve, batch_format="pyarrow")
 
 
 def keep_canonical(
@@ -341,7 +365,10 @@ def keep_canonical(
     to a hash left_anti join."""
     labels = connected_components(pairs, num_partitions=num_partitions)
     drop = labels.map_batches(
-        lambda b: b[b["cluster_id"] < b["node"]][["node"]], batch_format="pandas"
+        lambda b: b.filter(
+            pc.less(b.column("cluster_id"), b.column("node"))
+        ).select(["node"]),
+        batch_format="pyarrow",
     ).materialize()
     return _drop_ids(docs, drop, id_col, broadcast_limit, num_partitions)
 
@@ -379,13 +406,10 @@ def keep_best(
     )
 
     proj = docs.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "node": b[id_col].to_numpy(),
-                "_prio": b[priority_col].to_numpy(),
-            }
+        lambda b: pa.table(
+            {"node": b.column(id_col), "_prio": b.column(priority_col)}
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     lab_pr = labels.join(
         proj, "inner", num_partitions=num_partitions, on=("node",)
@@ -394,32 +418,31 @@ def keep_best(
     from .dedup import sorted_group_first
 
     ranked = lab_pr.map_batches(
-        lambda b: pd.DataFrame(
+        lambda b: pa.table(
             {
-                "cluster_id": b["cluster_id"].to_numpy(),
-                "_negp": -b["_prio"].to_numpy(),
-                "node": b["node"].to_numpy(),
+                "cluster_id": b.column("cluster_id"),
+                "_negp": pc.negate(b.column("_prio")),
+                "node": b.column("node"),
             }
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     best = sorted_group_first(ranked, ["cluster_id"], ["_negp", "node"])
     best = best.map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "cluster_id": b["cluster_id"].to_numpy(),
-                "best_node": b["node"].to_numpy(),
-            }
+        lambda b: pa.table(
+            {"cluster_id": b.column("cluster_id"), "best_node": b.column("node")}
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     ).repartition(num_partitions)  # drop sort/union schema-less empties
     drop = (
         labels.join(
             best, "inner", num_partitions=num_partitions, on=("cluster_id",)
         )
         .map_batches(
-            lambda b: b[b["node"] != b["best_node"]][["node"]],
-            batch_format="pandas",
+            lambda b: b.filter(
+                pc.not_equal(b.column("node"), b.column("best_node"))
+            ).select(["node"]),
+            batch_format="pyarrow",
         )
         .materialize()
     )
@@ -444,16 +467,16 @@ def _drop_ids(
         )
         ref = ray.put(ids)
 
-        def anti(b: pd.DataFrame) -> pd.DataFrame:
+        def anti(b: "pa.Table") -> "pa.Table":
             arr = ray.get(ref)
             if len(arr) == 0:
                 return b
-            v = b[id_col].to_numpy()
+            v = b.column(id_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(arr, v)
             pos = np.minimum(pos, len(arr) - 1)
-            return b[arr[pos] != v]
+            return b.filter(pa.array(arr[pos] != v))
 
-        return docs.map_batches(anti, batch_format="pandas")
+        return docs.map_batches(anti, batch_format="pyarrow")
 
     if num_partitions is None:
         num_partitions = _default_partitions()

@@ -35,32 +35,76 @@ from . import groupagg
 _TOKEN_RE = r"[a-z0-9]+"
 
 
-def _bigram_partials(b: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    words = b[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
-    exploded = words.reset_index(drop=True).explode().dropna()
-    if len(exploded) == 0:
-        return pd.DataFrame(
+def _bigram_partials(b: "pa.Table", text_col: str) -> "pa.Table":
+    """Pre-reduced (w1, w2, n) adjacent-bigram counts of one Arrow
+    batch: Arrow tokenize (ops/textstats.explode_words_arrow), pair
+    hashes combined order-sensitively, one lexsort run-collapse — no
+    pandas conversion and no string groupby (strings attach only to
+    the run-start rows that leave the worker)."""
+    import pyarrow as pa
+
+    from . import hashing
+    from .textstats import explode_words_arrow, hash_words_arrow
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+    flat, doc = explode_words_arrow(b[text_col])
+    if len(flat) < 2:
+        return empty
+    h = hash_words_arrow(flat)
+    same_doc = doc[1:] == doc[:-1]
+    if not same_doc.any():
+        return empty
+    lead = np.flatnonzero(same_doc)  # bigram start positions
+    ph = hashing.combine(h[lead], h[lead + 1])
+    order = np.argsort(ph, kind="stable")
+    ph_ = ph[order]
+    first = np.ones(len(ph_), dtype=bool)
+    first[1:] = ph_[1:] != ph_[:-1]
+    starts = np.flatnonzero(first)
+    n = np.diff(np.append(starts, len(ph_))).astype(np.int64)
+    pos = lead[order[starts]]
+    return pa.table(
+        {
+            "w1": flat.take(pa.array(pos)),
+            "w2": flat.take(pa.array(pos + 1)),
+            "n": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+def _unigram_partials(b: "pa.Table", text_col: str) -> "pa.Table":
+    """Pre-reduced (w, n) unigram counts of one Arrow batch (same
+    hash-sort run-collapse as the bigram pass)."""
+    import pyarrow as pa
+
+    from .textstats import explode_words_arrow, hash_words_arrow
+
+    flat, _ = explode_words_arrow(b[text_col])
+    if len(flat) == 0:
+        return pa.table(
             {
-                "w1": pd.Series([], dtype=object),
-                "w2": pd.Series([], dtype=object),
-                "n": pd.Series([], dtype="int64"),
+                "w": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
             }
         )
-    doc = exploded.index.to_numpy(dtype=np.int64)
-    w = exploded.to_numpy(dtype=object)
-    same_doc = doc[1:] == doc[:-1]
-    pairs = pd.DataFrame({"w1": w[:-1][same_doc], "w2": w[1:][same_doc]})
-    out = pairs.groupby(["w1", "w2"], as_index=False).size()
-    out.columns = ["w1", "w2", "n"]
-    out["n"] = out["n"].astype("int64")
-    return out
-
-
-def _unigram_partials(b: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    words = b[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
-    vc = words.explode().dropna().value_counts()
-    return pd.DataFrame(
-        {"w": vc.index.astype(object), "n": vc.to_numpy(dtype=np.int64)}
+    h = hash_words_arrow(flat)
+    order = np.argsort(h, kind="stable")
+    h_ = h[order]
+    first = np.ones(len(h_), dtype=bool)
+    first[1:] = h_[1:] != h_[:-1]
+    starts = np.flatnonzero(first)
+    n = np.diff(np.append(starts, len(h_))).astype(np.int64)
+    return pa.table(
+        {
+            "w": flat.take(pa.array(order[starts])),
+            "n": pa.array(n, type=pa.int64()),
+        }
     )
 
 
@@ -74,7 +118,7 @@ def pmi_collocations(
     comparison-stable). Sort/limit downstream for a top-k."""
     big = groupagg.sorted_group_sum(
         ds.map_batches(
-            lambda b: _bigram_partials(b, text_col), batch_format="pandas"
+            lambda b: _bigram_partials(b, text_col), batch_format="pyarrow"
         ),
         ["w1", "w2"],
         "n",
@@ -82,7 +126,7 @@ def pmi_collocations(
     ).materialize()
     uni = groupagg.sorted_group_sum(
         ds.map_batches(
-            lambda b: _unigram_partials(b, text_col), batch_format="pandas"
+            lambda b: _unigram_partials(b, text_col), batch_format="pyarrow"
         ),
         ["w"],
         "n",

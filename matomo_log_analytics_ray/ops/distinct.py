@@ -37,23 +37,33 @@ def distinct_counts(
     """Exact COUNT(DISTINCT val_col) per group_col (bounded-cardinality
     groups). Returns a small pandas frame (group_col, n_distinct)."""
 
-    def local_pairs(b: pd.DataFrame) -> pd.DataFrame:
-        # dropna: COUNT(DISTINCT v) ignores nulls (SQL semantics; keeps
-        # parity with the oracle and with hll_distinct_counts)
-        return b[[group_col, val_col]].dropna().drop_duplicates()
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    pairs = ds.map_batches(local_pairs, batch_format="pandas")
+    def local_pairs(b: "pa.Table") -> "pa.Table":
+        # null filter: COUNT(DISTINCT v) ignores nulls (SQL semantics;
+        # keeps parity with the oracle and with hll_distinct_counts).
+        # Dedup via pyarrow's C++ hash group_by — no pandas round trip.
+        t = b.select([group_col, val_col])
+        t = t.filter(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[val_col]))
+        )
+        return t.group_by([group_col, val_col]).aggregate([])
+
+    pairs = ds.map_batches(local_pairs, batch_format="pyarrow")
     distinct_pairs = dedup.sorted_group_counts(
         pairs, [group_col, val_col], alias="_n"
     )
 
-    def per_group_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(group_col, as_index=False).size()
-        g.columns = [group_col, "n_distinct"]
-        return g
+    def per_group_partial(b: "pa.Table") -> "pa.Table":
+        g = b.group_by(group_col).aggregate([([], "count_all")])
+        names = [
+            "n_distinct" if c == "count_all" else c for c in g.column_names
+        ]
+        return g.rename_columns(names).select([group_col, "n_distinct"])
 
     out = distinct_pairs.map_batches(
-        per_group_partial, batch_format="pandas"
+        per_group_partial, batch_format="pyarrow"
     ).to_pandas()
     if len(out) == 0:  # empty input: to_pandas drops the schema
         return pd.DataFrame(

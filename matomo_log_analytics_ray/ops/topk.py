@@ -9,6 +9,10 @@ block inside ``map_batches`` (no data movement), then merges the
 final task. Wall-clock is one streaming pass; the only "shuffle" is the
 partials' coalesce.
 
+All stages are Arrow-native (``batch_format="pyarrow"`` +
+pyarrow.compute sort kernels): blocks come zero-copy from the object
+store and string columns never round-trip through pandas.
+
 Determinism: ties are resolved by the given column order; pass enough
 tiebreaker columns for a total order if exact row identity matters
 (the driver-contract query orders by (ts, event_id)).
@@ -17,9 +21,49 @@ tiebreaker columns for a total order if exact row identity matters
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+
+
+def _sort_keys(cols: list[str], descending: list[bool]):
+    return [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(cols, descending)
+    ]
+
+
+def _run_first_mask(tbl: "pa.Table", cols: list[str]) -> np.ndarray:
+    """Boolean first-row-of-run markers over consecutive equal values
+    of ``cols`` (table already sorted by them). Nulls mark run starts —
+    the same convention as numpy's NaN != NaN in the previous pandas
+    kernel."""
+    n = len(tbl)
+    first = np.zeros(n, dtype=bool)
+    if n == 0:
+        return first
+    first[0] = True
+    for c in cols:
+        col = tbl[c].combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+        )
+        first[1:] |= neq.to_numpy(zero_copy_only=False)
+    return first
+
+
+def _head_k_per_run(
+    tbl: "pa.Table", key_cols: list[str], k: int
+) -> "pa.Table":
+    """First k rows of every consecutive key run (table pre-sorted)."""
+    n = len(tbl)
+    if n == 0:
+        return tbl
+    first = _run_first_mask(tbl, key_cols)
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(first, idx, 0))
+    return tbl.filter(pa.array(idx - run_start < k))
 
 
 def topk(
@@ -31,14 +75,17 @@ def topk(
     """Top-k rows of ``ds`` under (sort_cols, descending) order."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_cols)
-    ascending = [not d for d in descending]
+    keys = _sort_keys(sort_cols, descending)
 
-    def head_k(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(sort_cols, ascending=ascending).head(k)
+    def head_k(b: "pa.Table") -> "pa.Table":
+        order = pc.sort_indices(b, sort_keys=keys)
+        return b.take(order.slice(0, k))
 
-    partials = ds.map_batches(head_k, batch_format="pandas")
+    partials = ds.map_batches(head_k, batch_format="pyarrow")
     # n_blocks x k rows -> one block -> final head_k
-    return partials.repartition(1).map_batches(head_k, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        head_k, batch_format="pyarrow"
+    )
 
 
 def grouped_topk(
@@ -60,50 +107,52 @@ def grouped_topk(
     if isinstance(descending, bool):
         descending = [descending] * len(sort_cols)
     sorted_ds = ds.sort(
-        key_cols + sort_cols, descending=[False] * len(key_cols) + list(descending)
+        key_cols + sort_cols,
+        descending=[False] * len(key_cols) + list(descending),
     )
 
-    def block_fn(b: pd.DataFrame) -> pd.DataFrame:
+    def block_fn(b: "pa.Table") -> "pa.Table":
         n = len(b)
         if n == 0:
-            out = b.copy()
-            out["kind"] = pd.Series([], dtype=object)
-            return out
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for c in key_cols:
-            v = b[c].to_numpy()
-            change[1:] |= v[1:] != v[:-1]
-        run_id = np.cumsum(change) - 1
-        starts = np.flatnonzero(change)
-        pos = np.arange(n) - starts[run_id]
-        keep = pos < k
-        last = run_id[-1]
-        edge = (run_id == 0) | (run_id == last)
-        out = b[keep].copy()
-        out["kind"] = np.where(edge[keep], "edge", "done")
-        return out
+            return b.append_column("kind", pa.array([], type=pa.string()))
+        first = _run_first_mask(b, key_cols)
+        run_id = np.cumsum(first) - 1
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(first, idx, 0))
+        keep = idx - run_start < k
+        edge = (run_id == 0) | (run_id == run_id[-1])
+        kind = np.where(edge[keep], "edge", "done")
+        return b.filter(pa.array(keep)).append_column(
+            "kind", pa.array(kind, type=pa.string())
+        )
 
-    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    tagged = sorted_ds.map_batches(
+        block_fn, batch_format="pyarrow"
+    ).materialize()
     done = tagged.map_batches(
-        lambda b: b[b["kind"] == "done"].drop(columns=["kind"]),
-        batch_format="pandas",
+        lambda b: b.filter(pc.equal(b["kind"], "done")).drop_columns(
+            ["kind"]
+        ),
+        batch_format="pyarrow",
     )
 
-    ascending = [True] * len(key_cols) + [not d for d in descending]
+    merge_keys = _sort_keys(
+        key_cols + sort_cols, [False] * len(key_cols) + list(descending)
+    )
 
-    def merge_edges(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.drop(columns=["kind"])
+    def merge_edges(b: "pa.Table") -> "pa.Table":
+        b = b.drop_columns(["kind"])
         if len(b) == 0:
             return b
-        b = b.sort_values(key_cols + sort_cols, ascending=ascending, kind="mergesort")
-        return b.groupby(key_cols, sort=False).head(k)
+        b = b.take(pc.sort_indices(b, sort_keys=merge_keys))
+        return _head_k_per_run(b, key_cols, k)
 
     edges = (
         tagged.map_batches(
-            lambda b: b[b["kind"] == "edge"], batch_format="pandas"
+            lambda b: b.filter(pc.equal(b["kind"], "edge")),
+            batch_format="pyarrow",
         )
         .repartition(1)
-        .map_batches(merge_edges, batch_format="pandas")
+        .map_batches(merge_edges, batch_format="pyarrow")
     )
     return done.union(edges)

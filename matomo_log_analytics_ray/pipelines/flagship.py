@@ -17,6 +17,7 @@ import ray
 
 import ray.data
 
+from .. import io as mla_io
 from ..stages import aggregate, classify, enrich, parse, route
 
 
@@ -57,13 +58,13 @@ def build_pipeline(
             # read+parse fuse per shard instead of Ray's finer auto-split
             n_files = len([f for f in os.listdir(source) if f.endswith(".parquet")])
             if n_files > 0:
-                ds = ray.data.read_parquet(source, override_num_blocks=n_files)
+                ds = mla_io.read_parquet(source, override_num_blocks=n_files)
             else:
                 # hive-partitioned layouts keep files in subdirectories;
                 # let Ray pick its own split rather than clamping to 1 block
-                ds = ray.data.read_parquet(source)
+                ds = mla_io.read_parquet(source)
         else:
-            ds = ray.data.read_parquet(source)
+            ds = mla_io.read_parquet(source)
 
     kwargs = {}
     if batch_size is not None:
