@@ -23,6 +23,8 @@ import argparse
 import os
 import sys
 
+from matomo_log_analytics_ray import io as mla_io
+
 
 def _ensure_ray() -> None:
     import ray
@@ -59,6 +61,7 @@ def cmd_discover(args) -> int:
     """update_available_logs: discovery and/or date-status rollup."""
     _ensure_ray()
     import pandas as pd
+    import pyarrow.parquet as pq
     import ray.data
 
     from .control import datestatus, discovery
@@ -66,7 +69,7 @@ def cmd_discover(args) -> int:
     modes = args.execution_mode or ["update_table_log_file", "update_table_date_status"]
     manifest_path = os.path.join(args.out, "manifest.parquet")
     if "update_table_log_file" in modes:
-        listing = ray.data.read_parquet(args.listing)
+        listing = mla_io.read_parquet(args.listing)
         if "collection" in listing.schema().names:
             listing = listing.map_batches(
                 lambda b, c=args.collection: b[b["collection"] == c][["path"]],
@@ -74,17 +77,40 @@ def cmd_discover(args) -> int:
             )
         existing = None
         if os.path.exists(manifest_path):
-            existing = ray.data.read_parquet(manifest_path)
-        manifest = discovery.build_manifest(
+            existing = mla_io.read_parquet(manifest_path)
+        new_rows = discovery.build_manifest(
             listing, args.collection, existing_manifest=existing
-        ).to_pandas()
-        if existing is not None:
-            manifest = pd.concat([existing.to_pandas(), manifest], ignore_index=True)
+        )
+        # Distributed merge: Dataset union + parallel parquet write —
+        # no driver-side to_pandas/concat, so discovery scales with
+        # file count (the manifest is ~1 row per input file, but at
+        # 100x file counts a driver concat is the one hot spot).
+        # manifest.parquet is a DIRECTORY of part files; both
+        # ray.data.read_parquet and pandas.read_parquet accept it.
+        merged = new_rows if existing is None else existing.union(new_rows)
         os.makedirs(args.out, exist_ok=True)
+        import shutil
+
         tmp = manifest_path + ".tmp"
-        manifest.to_parquet(tmp, index=False)
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write_parquet(tmp)
+        n_rows = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        # swap (two renames; the .old backup keeps a crash recoverable)
+        backup = manifest_path + ".old"
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.isfile(backup):
+            os.remove(backup)
+        if os.path.exists(manifest_path):
+            os.replace(manifest_path, backup)
         os.replace(tmp, manifest_path)
-        print(f"manifest: {len(manifest)} rows -> {manifest_path}")
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.isfile(backup):
+            os.remove(backup)
+        print(f"manifest: {n_rows} rows -> {manifest_path}")
     if "update_table_date_status" in modes:
         import pandas as pd
 
@@ -99,7 +125,7 @@ def cmd_discover(args) -> int:
             pd.read_parquet(rollup_path) if os.path.exists(rollup_path) else None
         )
         rollup = datestatus.rollup_date_status(
-            ray.data.read_parquet(manifest_path), existing=existing_rollup
+            mla_io.read_parquet(manifest_path), existing=existing_rollup
         )
         tmp = rollup_path + ".tmp"
         rollup.to_parquet(tmp, index=False)
@@ -149,7 +175,7 @@ def cmd_prep(args) -> int:
     from .pipelines import prepare
 
     _ensure_ray()
-    docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+    docs = mla_io.read_parquet(args.docs, columns=["doc_id", "text"])
     counts = prepare.prepare_training_data(
         docs, out_dir=args.out, quality_min=args.quality_min
     )

@@ -379,7 +379,9 @@ def media_path(n: int = 512, seed: int = 42) -> str:
     from .ops import multimodal
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"media_v2_{n}_seed{seed}.parquet")
+    # v3: image/bmp + audio/wav rows carry REAL payloads (built-in
+    # pure-python codecs in ops/multimodal) matching the metadata
+    path = os.path.join(CACHE_DIR, f"media_v3_{n}_seed{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(multimodal.generate_fake_media(n, seed=seed), tmp, row_group_size=128)
@@ -650,3 +652,78 @@ def csv_events_paths(sf_dir: str) -> tuple[str, str]:
             dst.write(src.read())
         os.replace(tmp, gz)
     return plain, gz
+
+
+def generate_status_transitions(seed: int = 42, n_random: int = 4000) -> pa.Table:
+    """Deterministic (current, proposed) status-pair table covering the
+    full file- and date-lattice cross products (every transition edge
+    of /root/reference/libs/lib_status.py:7-19 appears at least once)
+    plus seeded random pairs — the T1/T2 oracle-gate fixture."""
+    from .control import status as st
+
+    file_vals = np.array(
+        [st.FILE_QUEUE, st.FILE_PARTIAL, st.FILE_LOADED,
+         st.FILE_LOADING, st.FILE_FAILED, st.FILE_INVALID],
+        dtype=np.int64,
+    )
+    date_vals = np.array(
+        [st.DATE_QUEUE, st.DATE_PARTIAL, st.DATE_LOADED,
+         st.DATE_PRETABLE, st.DATE_COMPUTED, st.DATE_COMPLETED],
+        dtype=np.int64,
+    )
+    fc, fp = np.meshgrid(file_vals, file_vals)
+    dc, dp = np.meshgrid(date_vals, date_vals)
+    rng = np.random.default_rng(seed)
+    cur_f = np.concatenate([fc.ravel(), rng.choice(file_vals, n_random)])
+    prop_f = np.concatenate([fp.ravel(), rng.choice(file_vals, n_random)])
+    cur_d = np.concatenate([dc.ravel(), rng.choice(date_vals, n_random)])
+    prop_d = np.concatenate([dp.ravel(), rng.choice(date_vals, n_random)])
+    n = len(cur_f)
+    return pa.table(
+        {
+            "row_id": pa.array(np.arange(n, dtype=np.int64)),
+            "cur_file": pa.array(cur_f),
+            "prop_file": pa.array(prop_f),
+            "cur_date": pa.array(cur_d),
+            "prop_date": pa.array(prop_d),
+        }
+    )
+
+
+def status_transitions_path(seed: int = 42) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"status_transitions_v1_seed{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_status_transitions(seed), tmp, row_group_size=512)
+        os.replace(tmp, path)
+    return path
+
+
+def recovery_journal_dir(seed: int = 42, n_partitions: int = 60) -> str:
+    """Deterministic recovery-TSV journal directory (T3/K2 fixture):
+    per-partition TSVs written through control.recovery.write_recovery_row
+    (the REAL appender, so the gate exercises the production writer),
+    1-3 rows per partition with seeded counts and status codes."""
+    from .control import recovery, status as st
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    d = os.path.join(CACHE_DIR, f"recovery_journal_v1_seed{seed}")
+    if not os.path.isdir(d):
+        tmpd = d + ".tmp"
+        if os.path.isdir(tmpd):
+            import shutil
+
+            shutil.rmtree(tmpd)
+        rng = np.random.default_rng(seed)
+        statuses = [st.FILE_QUEUE, st.FILE_PARTIAL, st.FILE_LOADED, st.FILE_FAILED]
+        for i in range(n_partitions):
+            pid = f"part-{i:04d}"
+            for _ in range(int(rng.integers(1, 4))):
+                expected = int(rng.integers(0, 2_000_000))
+                parsed = int(rng.integers(0, expected + 1))
+                recovery.write_recovery_row(
+                    tmpd, pid, expected, parsed, statuses[int(rng.integers(0, 4))]
+                )
+        os.replace(tmpd, d)
+    return d

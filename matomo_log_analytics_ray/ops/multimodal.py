@@ -43,6 +43,125 @@ def _load_av():
     except ImportError:
         return None
 
+# ---------------------------------------------------------------------
+# Built-in pure-python codecs (no optional dependency): uncompressed
+# 24-bit BMP and PCM16 WAV (stdlib ``wave``).  These make one REAL
+# decode path executable in any environment — strict mode passes for
+# image/bmp and audio/wav; PIL/pyav remain the adapters for compressed
+# formats.
+# ---------------------------------------------------------------------
+
+import struct
+import wave
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BI_RGB, bottom-up rows, 4-byte row padding)."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up, BGR
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 24-bit BMP; returns (width, height,
+    (h, w, 3) uint8 RGB top-down). Raises ValueError on any other BMP
+    flavor (compressed, other bit depths) — that is PIL's job."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", raw, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", raw, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a PCM16 WAV via stdlib ``wave``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(int(sample_rate))
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 WAV; returns (sample_rate, int16 samples of the
+    first channel)."""
+    with wave.open(io.BytesIO(raw), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        ch = f.getnchannels()
+        data = np.frombuffer(f.readframes(n), dtype="<i2")
+    return rate, data[::ch].copy()
+
+
+def _l1_normalize(m: np.ndarray) -> np.ndarray:
+    s = m.sum(axis=1, keepdims=True)
+    return m / np.maximum(s, 1e-12)
+
+
+def bmp_features(payloads) -> np.ndarray:
+    """Real image features from the built-in BMP decoder: 8x8
+    nearest-neighbor grayscale thumbnail folded to FEATURE_DIM means,
+    L1-normalized (the same feature contract as the fake path)."""
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    for i, raw in enumerate(payloads):
+        if not raw:
+            continue
+        w, h, rgb = decode_bmp(raw)
+        gray = rgb.astype(np.float32).mean(axis=2)
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        thumb = gray[np.ix_(yi, xi)].ravel()
+        out[i] = thumb.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
+    return _l1_normalize(out)
+
+
+def wav_features(payloads) -> np.ndarray:
+    """Real audio features from the built-in WAV decoder: FEATURE_DIM
+    mean-|amplitude| envelope buckets, L1-normalized."""
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    for i, raw in enumerate(payloads):
+        if not raw:
+            continue
+        _, samples = decode_wav(raw)
+        if len(samples) == 0:
+            continue
+        k = len(samples) // FEATURE_DIM
+        if k == 0:
+            pad = np.zeros(FEATURE_DIM, dtype=np.float32)
+            pad[: len(samples)] = np.abs(samples.astype(np.float32))
+            out[i] = pad / 32768.0
+        else:
+            env = (
+                np.abs(samples[: k * FEATURE_DIM].astype(np.float32))
+                .reshape(FEATURE_DIM, k)
+                .mean(axis=1)
+            )
+            out[i] = env / 32768.0
+    return _l1_normalize(out)
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -99,13 +218,29 @@ class MediaFeatureExtractor:
         return out
 
     def _decode(self, media_type: str, payloads: pd.Series) -> np.ndarray:
+        # built-in pure-python codecs first: REAL decode with no
+        # optional dependency (strict mode passes for these types)
+        if media_type == "image/bmp":
+            try:
+                return bmp_features(payloads)
+            except ValueError:
+                if self.strict:
+                    raise
+                return fake_decode_features(payloads)
+        if media_type == "audio/wav":
+            try:
+                return wav_features(payloads)
+            except (wave.Error, EOFError, ValueError):
+                if self.strict:
+                    raise
+                return fake_decode_features(payloads)
         if media_type.startswith("image/") and self.pil is not None:
             return self._pil_features(payloads)
         if self.strict:
             raise NotImplementedError(
                 f"no decoder for {media_type}: the needed library "
-                "(PIL for images, pyav/torchaudio for av) is not "
-                "installed in this environment"
+                "(PIL for compressed images, pyav/torchaudio for av) "
+                "is not installed in this environment"
             )
         return fake_decode_features(payloads)
 
@@ -143,32 +278,118 @@ def extract_features(
 
 
 def generate_fake_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media fixture: small binary payloads + metadata."""
+    """Deterministic media fixture: binary payloads + metadata.
+
+    image/bmp and audio/wav rows carry REAL payloads (built-in codecs
+    above) whose decoded dimensions equal the metadata columns — the
+    cross-check the ``media_decode_dims`` gate replays; png/jpeg/mp4
+    payloads stay opaque random bytes (their codecs are the optional
+    PIL/pyav adapters)."""
     rng = np.random.default_rng(seed)
     types = rng.choice(
-        np.array(["image/png", "image/jpeg", "audio/wav", "video/mp4"]),
+        np.array(
+            ["image/bmp", "image/png", "image/jpeg", "audio/wav", "video/mp4"]
+        ),
         size=n,
-        p=[0.35, 0.35, 0.15, 0.15],
+        p=[0.25, 0.2, 0.2, 0.2, 0.15],
     )
-    sizes = rng.integers(64, 4096, size=n)
-    payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
-    is_img = np.isin(types, ["image/png", "image/jpeg"])
+    is_bmp = types == "image/bmp"
+    is_img = np.isin(types, ["image/bmp", "image/png", "image/jpeg"])
     is_aud = types == "audio/wav"
     is_vid = types == "video/mp4"
     has_dims = is_img | is_vid
+    # BMP dims kept small (<=64) so the fixture stays KB-sized
+    width = np.where(
+        is_bmp, rng.integers(8, 64, n), np.where(has_dims, rng.integers(16, 512, n), 0)
+    ).astype(np.int32)
+    height = np.where(
+        is_bmp, rng.integers(8, 64, n), np.where(has_dims, rng.integers(16, 512, n), 0)
+    ).astype(np.int32)
+    n_samples = rng.integers(1_000, 32_000, size=n)
+    duration = np.where(
+        is_aud,
+        n_samples / 16_000.0,
+        np.where(is_vid, rng.uniform(0.5, 30.0, n), 0.0),
+    ).astype(np.float32)
+    sizes = rng.integers(64, 4096, size=n)
+    payloads = []
+    for i in range(n):
+        if is_bmp[i]:
+            rgb = rng.integers(
+                0, 256, size=(height[i], width[i], 3), dtype=np.uint8
+            )
+            payloads.append(encode_bmp(rgb))
+        elif is_aud[i]:
+            samples = rng.integers(
+                -20_000, 20_000, size=n_samples[i], dtype=np.int64
+            ).astype(np.int16)
+            payloads.append(encode_wav_pcm16(samples, 16_000))
+        else:
+            payloads.append(
+                rng.integers(0, 256, size=sizes[i], dtype=np.uint8).tobytes()
+            )
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(np.where(has_dims, rng.integers(16, 512, n), 0).astype(np.int32)),
-            "height": pa.array(np.where(has_dims, rng.integers(16, 512, n), 0).astype(np.int32)),
+            "width": pa.array(width),
+            "height": pa.array(height),
             "sample_rate": pa.array(np.where(is_aud, 16000, 0).astype(np.int32)),
-            "duration_s": pa.array(
-                np.where(is_vid | is_aud, rng.uniform(0.5, 30.0, n), 0.0).astype(np.float32)
-            ),
+            "duration_s": pa.array(duration),
         },
         schema=MEDIA_SCHEMA,
+    )
+
+
+def decode_dims(
+    media: "ray.data.Dataset",
+    batch_size: int = 64,
+    concurrency: int | tuple = 2,
+) -> "ray.data.Dataset":
+    """REAL-decode verification stage: for every built-in-codec row
+    (image/bmp, audio/wav) decode the payload and report the DECODED
+    geometry — (media_id, media_type, dec_width, dec_height,
+    dec_sample_rate, dec_n_samples). Strict by construction: a decode
+    failure raises. Rows of other media types are dropped (their
+    codecs are optional adapters)."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in b.itertuples():
+            if r.media_type == "image/bmp":
+                w, h, _ = decode_bmp(r.payload)
+                rows.append((r.media_id, r.media_type, w, h, 0, 0))
+            elif r.media_type == "audio/wav":
+                rate, samples = decode_wav(r.payload)
+                rows.append(
+                    (r.media_id, r.media_type, 0, 0, rate, len(samples))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "media_id",
+                "media_type",
+                "dec_width",
+                "dec_height",
+                "dec_sample_rate",
+                "dec_n_samples",
+            ],
+        ).astype(
+            {
+                "media_id": "int64",
+                "dec_width": "int64",
+                "dec_height": "int64",
+                "dec_sample_rate": "int64",
+                "dec_n_samples": "int64",
+            }
+        )
+
+    return media.map_batches(
+        fn,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 
@@ -187,7 +408,20 @@ class MediaResizer:
         self.strict = strict
         self.pil = _load_pil()  # once per actor
 
-    def _resize_payload(self, raw: bytes) -> bytes:
+    def _resize_payload(self, raw: bytes, media_type: str = "") -> bytes:
+        if media_type == "image/bmp" and raw:
+            # built-in real path: decode, nearest-neighbor resample,
+            # re-encode — no optional dependency
+            try:
+                _, _, rgb = decode_bmp(raw)
+            except ValueError:
+                if self.strict:
+                    raise
+            else:
+                h, w = rgb.shape[:2]
+                yi = (np.arange(self.target_h) * h) // self.target_h
+                xi = (np.arange(self.target_w) * w) // self.target_w
+                return encode_bmp(rgb[np.ix_(yi, xi)])
         if self.pil is not None and raw:
             img = self.pil.open(io.BytesIO(raw))
             fmt = img.format or "PNG"
@@ -208,7 +442,15 @@ class MediaResizer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
         is_img = out["media_type"].str.startswith("image/")
-        out.loc[is_img, "payload"] = out.loc[is_img, "payload"].map(self._resize_payload)
+        sub = out.loc[is_img]
+        out.loc[is_img, "payload"] = pd.Series(
+            [
+                self._resize_payload(p, t)
+                for p, t in zip(sub["payload"], sub["media_type"])
+            ],
+            index=sub.index,
+            dtype=object,
+        )
         out.loc[is_img, "width"] = self.target_w
         out.loc[is_img, "height"] = self.target_h
         return out

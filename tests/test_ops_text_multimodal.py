@@ -72,10 +72,57 @@ def test_media_feature_extraction_pipeline():
 
 
 def test_media_strict_mode_raises():
-    tbl = multimodal.generate_fake_media(4)
+    # strict raises only for types with NO built-in codec (compressed
+    # images need PIL, absent here); bmp/wav rows decode for real
+    df = pd.DataFrame(
+        {
+            "media_id": [0],
+            "media_type": ["image/png"],
+            "payload": [b"\x89PNG not really"],
+        }
+    )
     ex = multimodal.MediaFeatureExtractor(strict=True)
     with pytest.raises(NotImplementedError):
-        ex(tbl.to_pandas())
+        ex(df)
+
+
+def test_media_builtin_codec_roundtrip():
+    """BMP and WAV encode->decode round-trips exactly (pure-python
+    codecs, no optional dependency)."""
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    w, h, back = multimodal.decode_bmp(multimodal.encode_bmp(rgb))
+    assert (w, h) == (21, 13)
+    assert np.array_equal(back, rgb)
+
+    samples = rng.integers(-30000, 30000, size=4321).astype(np.int16)
+    rate, back_s = multimodal.decode_wav(
+        multimodal.encode_wav_pcm16(samples, 22050)
+    )
+    assert rate == 22050
+    assert np.array_equal(back_s, samples)
+
+
+def test_media_strict_real_decode_passes_for_builtin_types():
+    """The fixture's bmp/wav payloads are REAL: strict feature
+    extraction succeeds and decoded dims equal the metadata."""
+    tbl = multimodal.generate_fake_media(64, seed=11)
+    df = tbl.to_pandas()
+    sub = df[df["media_type"].isin(["image/bmp", "audio/wav"])]
+    assert len(sub) > 0
+    ex = multimodal.MediaFeatureExtractor(strict=True)
+    out = ex(sub)
+    assert len(out) == len(sub)
+    feats = np.stack(out["features"].to_numpy())
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    for r in sub.itertuples():
+        if r.media_type == "image/bmp":
+            w, h, _ = multimodal.decode_bmp(r.payload)
+            assert (w, h) == (r.width, r.height)
+        else:
+            rate, samples = multimodal.decode_wav(r.payload)
+            assert rate == r.sample_rate
+            assert len(samples) == round(float(r.duration_s) * rate)
 
 
 def test_media_resize_and_frame_sampling():
@@ -92,7 +139,15 @@ def test_media_resize_and_frame_sampling():
     resized = multimodal.resize_images(ds, 64, 64, concurrency=(1, 2)).to_pandas()
     img = resized[resized["media_type"].str.startswith("image/")]
     assert (img["width"] == 64).all() and (img["height"] == 64).all()
-    assert img["payload"].map(len).eq(64 * 64 // 64).all()
+    # bmp rows took the REAL built-in resize (decode->resample->encode);
+    # png/jpeg rows took the deterministic fake path
+    bmp = img[img["media_type"] == "image/bmp"]
+    assert len(bmp) > 0
+    for raw in bmp["payload"]:
+        w, h, _ = multimodal.decode_bmp(raw)
+        assert (w, h) == (64, 64)
+    fake = img[img["media_type"] != "image/bmp"]
+    assert fake["payload"].map(len).eq(64 * 64 // 64).all()
     vid = resized[resized["media_type"] == "video/mp4"]
     src = tbl.to_pandas().set_index("media_id")
     for r in vid.itertuples():  # non-image rows untouched
@@ -113,7 +168,18 @@ def test_media_resize_strict_raises():
 
     from matomo_log_analytics_ray.ops import multimodal
 
-    ds = ray.data.from_arrow(multimodal.generate_fake_media(8, seed=5))
+    # a compressed image with no PIL must raise in strict mode; bmp
+    # rows would succeed (built-in codec), so pin the type explicitly
+    df = pd.DataFrame(
+        {
+            "media_id": pd.Series([0], dtype="int64"),
+            "media_type": ["image/jpeg"],
+            "payload": [b"\xff\xd8 not a real jpeg"],
+            "width": pd.Series([32], dtype="int32"),
+            "height": pd.Series([32], dtype="int32"),
+        }
+    )
+    ds = ray.data.from_pandas(df)
     with pytest.raises(Exception):
         multimodal.resize_images(ds, 32, 32, strict=True).to_pandas()
 
@@ -289,11 +355,17 @@ def test_media_codec_adapter_uses_pil_when_importable(monkeypatch):
     feats = np.stack(out["features"].to_numpy())
     assert np.allclose(feats[0], 1.0)  # first byte 255 -> all-ones gray
     assert np.allclose(feats[1], 0.0)
-    # non-image types still raise under strict when no codec exists
-    audio = pd.DataFrame(
-        {"media_id": [3], "media_type": ["audio/wav"], "payload": [b"abc"]}
+    # types with no codec at all still raise under strict
+    video = pd.DataFrame(
+        {"media_id": [3], "media_type": ["video/mp4"], "payload": [b"abc"]}
     )
     with pytest.raises(NotImplementedError):
+        ex(video)
+    # and the built-in wav decoder rejects garbage bytes loudly
+    audio = pd.DataFrame(
+        {"media_id": [4], "media_type": ["audio/wav"], "payload": [b"abc"]}
+    )
+    with pytest.raises(Exception):
         ex(audio)
 
 
