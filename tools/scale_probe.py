@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+from matomo_log_analytics_ray.io import read_parquet as _read_parquet
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -115,7 +117,7 @@ def main_ann() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     def read():
-        return ray.data.read_parquet(src)
+        return _read_parquet(src)
 
     timed("brute_force_topk", lambda: similarity.brute_force_topk(
         read(), qids, qvecs, k=10))
@@ -160,7 +162,7 @@ def main_text() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     def rd():
-        return ray.data.read_parquet(dpath)
+        return _read_parquet(dpath)
 
     timed("tfidf_top_terms", lambda: textstats.tfidf_top_terms(rd(), k=5))
     timed("text_clean", lambda: rd().map_batches(
@@ -270,7 +272,7 @@ def main_delta() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     def read():
-        return ray.data.read_parquet(src, columns=["event_id", "user_id", "value"])
+        return _read_parquet(src, columns=["event_id", "user_id", "value"])
 
     def delta_side():
         # 10% of ids, values shifted (the upsert/CDC "new" rows)
@@ -287,7 +289,7 @@ def main_delta() -> None:
         read(), delta_ops.upsert(read(), delta_side(), "event_id"),
         "event_id", ["value"]))
     timed("pack_greedy_b4000", lambda: pack_ops.pack_greedy(
-        ray.data.read_parquet(src, columns=["event_id", "user_id"]).map_batches(
+        _read_parquet(src, columns=["event_id", "user_id"]).map_batches(
             lambda b: b.assign(n_chars=(b["user_id"] % 900 + 100).astype("int64")),
             batch_format="pandas",
         ),
@@ -330,7 +332,7 @@ def main() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     def read():
-        return ray.data.read_parquet(src)
+        return _read_parquet(src)
 
     timed("asof_join_self", lambda: asof.asof_join_self(
         read(), key_col="user_id", ts_col="ts",
@@ -338,51 +340,51 @@ def main() -> None:
         right_mask=lambda b: b["event_type"] == "purchase",
     ).to_pandas())
     timed("grouped_topk_k3", lambda: topk.grouped_topk(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]),
+        _read_parquet(src, columns=["user_id", "ts", "event_id"]),
         key_cols=["user_id"], sort_cols=["ts", "event_id"], k=3,
     ).to_pandas())
     timed("quantiles", lambda: quantiles.grouped_quantiles(
-        ray.data.read_parquet(src, columns=["event_type", "value"]),
+        _read_parquet(src, columns=["event_type", "value"]),
         "event_type", "value", qs=(0.25, 0.5, 0.75, 0.9),
     ))
     timed("distinct_exact", lambda: distinct.distinct_counts(
-        ray.data.read_parquet(src, columns=["event_type", "user_id"]),
+        _read_parquet(src, columns=["event_type", "user_id"]),
         "event_type", "user_id",
     ))
     timed("distinct_hll", lambda: distinct.hll_distinct_counts(
-        ray.data.read_parquet(src, columns=["event_type", "user_id"]),
+        _read_parquet(src, columns=["event_type", "user_id"]),
         "event_type", "user_id",
     ))
     timed("heavy_hitters", lambda: heavyhitters.heavy_hitters(
-        ray.data.read_parquet(src, columns=["user_id"]), "user_id", phi=0.0001
+        _read_parquet(src, columns=["user_id"]), "user_id", phi=0.0001
     ))
     timed("sessionize_30min", lambda: sessionize.sessionize(
-        ray.data.read_parquet(src, columns=["user_id", "ts"])
+        _read_parquet(src, columns=["user_id", "ts"])
     ).count())
     from matomo_log_analytics_ray.ops import rank as rankmod
     from matomo_log_analytics_ray.ops import window as winmod
 
     timed("grouped_rank", lambda: rankmod.grouped_rank(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]),
+        _read_parquet(src, columns=["user_id", "ts", "event_id"]),
         ["user_id"], ["ts", "event_id"],
     ).count())
     timed("grouped_cumsum", lambda: rankmod.grouped_cumsum(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        _read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
         ["user_id"], ["ts", "event_id"], "value",
     ).count())
     timed("grouped_lag", lambda: winmod.grouped_lag(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        _read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
         ["user_id"], ["ts", "event_id"], "value",
     ).count())
     timed("rolling_mean_w3", lambda: winmod.grouped_rolling_mean(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
+        _read_parquet(src, columns=["user_id", "ts", "event_id", "value"]),
         ["user_id"], ["ts", "event_id"], "value", window=3,
     ).count())
     timed("range_join_1h", lambda: asof.range_join(
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
+        _read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
             lambda b: b.rename(columns={"event_id": "click_id"}), batch_format="pandas"
         ),
-        ray.data.read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
+        _read_parquet(src, columns=["user_id", "ts", "event_id"]).map_batches(
             lambda b: b.rename(columns={"event_id": "purchase_id"}), batch_format="pandas"
         ),
         key_col="user_id", point_ts="ts", point_id="click_id",
@@ -427,7 +429,7 @@ def main_newops() -> None:
     from matomo_log_analytics_ray.ops import dsir, semdedup
 
     timed("semdedup_512c_t08", ANN_ROWS, lambda: semdedup.semdedup(
-        ray.data.read_parquet(ann_src), cent, threshold=0.8))
+        _read_parquet(ann_src), cent, threshold=0.8))
     # NOT probed: a degenerate k=8 run (125k-vector clusters) is
     # ~8 TFLOP of within-cluster pair sims — the documented O((n/k)^2)
     # cost of underprovisioning k, bounded-memory (tiled) but hours
@@ -439,7 +441,7 @@ def main_newops() -> None:
     dpath = datagen.documents_path(TEXT_DOCS)
 
     def with_lang():
-        return ray.data.read_parquet(dpath).map_batches(
+        return _read_parquet(dpath).map_batches(
             lambda b: b.assign(lang=np.where(b["doc_id"] % 3 == 0, "en", "de")),
             batch_format="pandas",
         )
@@ -486,7 +488,7 @@ def main_round3b() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     def ev():
-        return ray.data.read_parquet(src)
+        return _read_parquet(src)
 
     timed("funnel_3step_12h", N_ROWS, lambda: funnel.funnel_counts(
         ev(), ["signup", "click", "purchase"],
@@ -498,7 +500,7 @@ def main_round3b() -> None:
 
     dpath = datagen.documents_path(TEXT_DOCS)
     timed("paragraph_dedup_w10", TEXT_DOCS, lambda: paradedup.paragraph_dedup(
-        ray.data.read_parquet(dpath), para_words=10))
+        _read_parquet(dpath), para_words=10))
 
     print(json.dumps({"n_rows": N_ROWS, "n_docs": TEXT_DOCS, "skew": SKEW,
                       "num_cpus": 32, "results": results}))
@@ -551,7 +553,7 @@ def main_round3c() -> None:
     cent_bad = np.random.default_rng(0x5E0).normal(size=(512, ANN_DIM))
 
     def sides():
-        ds = ray.data.read_parquet(ann_src)
+        ds = _read_parquet(ann_src)
         return (
             ds.map_batches(lambda b: b[b["vec_id"] % 20 != 0],
                            batch_format="pandas"),
@@ -566,7 +568,7 @@ def main_round3c() -> None:
     timed("ann_join_950k_collapsed_centroids", ANN_ROWS,
           lambda: annjoin.ann_join(l, r, cent_bad, k=1, max_group=50_000))
 
-    ev = ray.data.read_parquet(ev_src)
+    ev = _read_parquet(ev_src)
 
     def cooc():
         def day_user(b):
@@ -610,6 +612,66 @@ def main_round3c() -> None:
     ray.shutdown()
 
 
+ROUND4 = "--round4" in sys.argv
+
+
+def main_round4() -> None:
+    """Round-4 probes: declarative validation with the fk_exists
+    DISTRIBUTED path (broadcast_limit=0 forces the left_anti hash join;
+    VERDICT item 6's 20M-child-row probe) plus the full rule list in
+    one pass over the 20M events table."""
+    import ray
+    import ray.data
+
+    src = make_input()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray.ops import validate
+
+    results = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 2), "rows_out": len(out),
+                         "rows_per_sec": round(N_ROWS / dt)}
+        print(f"{name}: {results[name]}  {out.to_dict('records')}", flush=True)
+
+    # parent key set: 60% of the user range -> ~40% violations
+    parents = ray.data.range(60_000).map_batches(
+        lambda b: pd.DataFrame({"rk": b["id"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+
+    def child():
+        return _read_parquet(src, columns=["user_id", "value", "event_type"])
+
+    timed("fk_exists_distributed_20m", lambda: validate.validate(
+        child(),
+        [{"rule": "fk_exists", "col": "user_id", "ref": parents,
+          "ref_col": "rk"}],
+        broadcast_limit=0,
+    ))
+    timed("validate_full_rules_20m", lambda: validate.validate(
+        child(),
+        [
+            {"rule": "not_null", "col": "value"},
+            {"rule": "range", "col": "value", "lo": 0.0, "hi": 500.0},
+            {"rule": "in_set", "col": "event_type",
+             "values": ["click", "purchase", "view", "error", "signup"]},
+            {"rule": "unique", "col": "user_id"},
+            {"rule": "fk_exists", "col": "user_id", "ref": parents,
+             "ref_col": "rk"},
+        ],
+    ))
+
+    print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
+                      "results": results}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if ANN:
         main_ann()
@@ -623,5 +685,7 @@ if __name__ == "__main__":
         main_round3b()
     elif ROUND3C:
         main_round3c()
+    elif ROUND4:
+        main_round4()
     else:
         main()
