@@ -1549,62 +1549,83 @@ def _q_q5_local_supplier_volume(sf_dir: str):
     nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
     nkeys = set(nat["n_nationkey"].tolist())
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _sorted_map(df, key_col, val_col):
+        k = df[key_col].to_numpy(dtype=np.int64)
+        v = df[val_col].to_numpy(dtype=np.int64)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    def _probe(keys, vals, v):
+        """searchsorted dict probe: (hit_mask, mapped_vals_of_hits)."""
+        if len(keys) == 0 or len(v) == 0:
+            return np.zeros(len(v), dtype=bool), np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(keys, v)
+        ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == v)
+        return ok, vals[pos[ok]]
+
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     cust = cust[cust["c_nationkey"].isin(nkeys)]
-    cref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    cref = ray.put(_sorted_map(cust, "c_custkey", "c_nationkey"))
     supp = _read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).to_pandas()
     supp = supp[supp["s_nationkey"].isin(nkeys)]
-    sref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    sref = ray.put(_sorted_map(supp, "s_suppkey", "s_nationkey"))
 
-    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
-        cd = ray.get(cref)
-        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
-        cnat = b["o_custkey"].map(cd)
-        b = b[cnat.notna()]
-        return pd.DataFrame(
+    lo_s = pa.scalar(np.datetime64(lo.to_datetime64(), "us"))
+    hi_s = pa.scalar(np.datetime64(hi.to_datetime64(), "us"))
+
+    def orders_side(b: "pa.Table") -> "pa.Table":
+        ckeys, cvals = ray.get(cref)
+        d = b["o_orderdate"]
+        b = b.filter(
+            pc.and_(pc.greater_equal(d, lo_s), pc.less(d, hi_s))
+        )
+        v = b["o_custkey"].to_numpy().astype(np.int64, copy=False)
+        ok, cnat = _probe(ckeys, cvals, v)
+        return pa.table(
             {
-                "o_orderkey": b["o_orderkey"].to_numpy(),
-                "cnat": cnat[cnat.notna()].to_numpy(dtype=np.int64),
+                "o_orderkey": b["o_orderkey"].filter(pa.array(ok))
+                if len(v)
+                else b["o_orderkey"].slice(0, 0),
+                "cnat": pa.array(cnat, type=pa.int64()),
             }
         )
 
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(orders_side, batch_format="pandas")
+    ).map_batches(orders_side, batch_format="pyarrow")
 
-    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        sd = ray.get(sref)
-        snat = b["l_suppkey"].map(sd)
-        b = b[snat.notna()]
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    "l_orderkey": pd.Series([], dtype="int64"),
-                    "snat": pd.Series([], dtype="int64"),
-                    "rev": pd.Series([], dtype="float64"),
-                }
-            )
+    def li_partial(b: "pa.Table") -> "pa.Table":
+        skeys, svals = ray.get(sref)
+        v = b["l_suppkey"].to_numpy().astype(np.int64, copy=False)
+        ok, snat = _probe(skeys, svals, v)
+        b = b.filter(pa.array(ok)) if len(v) else b.slice(0, 0)
         # fixed-point integer 1/10000ths (the q3 rule): exact sums
         cents = np.round(b["l_extendedprice"].to_numpy() * 100.0)
         disc = np.round(b["l_discount"].to_numpy() * 100.0)
-        out = pd.DataFrame(
+        out = pa.table(
             {
-                "l_orderkey": b["l_orderkey"].to_numpy(),
-                "snat": snat[snat.notna()].to_numpy(dtype=np.int64),
-                "rev": cents * (100.0 - disc),
+                "l_orderkey": b["l_orderkey"],
+                "snat": pa.array(snat, type=pa.int64()),
+                "rev": pa.array(cents * (100.0 - disc), type=pa.float64()),
             }
         )
-        return out.groupby(["l_orderkey", "snat"], as_index=False)["rev"].sum()
+        g = out.group_by(["l_orderkey", "snat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(
+            ["rev" if c == "rev_sum" else c for c in g.column_names]
+        )
 
     li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pandas")
+    ).map_batches(li_partial, batch_format="pyarrow")
 
     np_join = default_join_partitions()
     j = li.repartition(np_join).join(
@@ -1615,12 +1636,13 @@ def _q_q5_local_supplier_volume(sf_dir: str):
         right_on=("o_orderkey",),
     )
 
-    def same_nation(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["snat"] == b["cnat"]]
-        return b[["snat", "rev"]]
+    def same_nation(b: "pa.Table") -> "pa.Table":
+        return b.filter(pc.equal(b["snat"], b["cnat"])).select(
+            ["snat", "rev"]
+        )
 
     folded = (
-        j.map_batches(same_nation, batch_format="pandas")
+        j.map_batches(same_nation, batch_format="pyarrow")
         .groupby("snat")
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas()
@@ -1659,45 +1681,52 @@ def _q_q3_shipping_revenue(sf_dir: str):
     )
     kref = ray.put(keys)
 
-    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cutoff_s = pa.scalar(np.datetime64(cutoff.to_datetime64(), "us"))
+
+    def orders_side(b: "pa.Table") -> "pa.Table":
         ks = ray.get(kref)
-        b = b[b["o_orderdate"] < cutoff]
+        b = b.filter(pc.less(b["o_orderdate"], cutoff_s))
+        date_str = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
         if len(ks) == 0 or len(b) == 0:
-            out = b.iloc[:0][["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
-            out["o_orderdate"] = out["o_orderdate"].astype(str)
-            return out
-        v = b["o_custkey"].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(ks, v)
-        ok = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
-        out = b[ok][["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
-        out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
-        return out
+            ok = np.zeros(len(b), dtype=bool)
+        else:
+            v = b["o_custkey"].to_numpy().astype(np.int64, copy=False)
+            pos = np.searchsorted(ks, v)
+            ok = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == v)
+        mask = pa.array(ok)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].filter(mask),
+                "o_orderdate": date_str.filter(mask),
+                "o_orderpriority": b["o_orderpriority"].filter(mask),
+            }
+        )
 
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    ).map_batches(orders_side, batch_format="pandas")
+    ).map_batches(orders_side, batch_format="pyarrow")
 
-    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] > cutoff]
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    "l_orderkey": pd.Series([], dtype="int64"),
-                    "rev": pd.Series([], dtype="float64"),
-                }
-            )
+    def li_partial(b: "pa.Table") -> "pa.Table":
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff_s))
         # fixed-point: prices/discounts are 2-decimal values, so
         # round(x*100) is exact — revenue accumulates as integer
         # 1/10000ths and the gate never hits a float .005 boundary
         # (12 groups flipped by 0.01 under ROUND(...,2), NOTES rule)
         cents = np.round(b["l_extendedprice"].to_numpy() * 100.0)
         disc = np.round(b["l_discount"].to_numpy() * 100.0)
-        rev = cents * (100.0 - disc)
-        return (
-            pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(), "rev": rev})
-            .groupby("l_orderkey", as_index=False)["rev"]
-            .sum()
+        out = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pa.array(cents * (100.0 - disc), type=pa.float64()),
+            }
+        )
+        g = out.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(
+            ["rev" if c == "rev_sum" else c for c in g.column_names]
         )
 
     li = (
@@ -1705,7 +1734,7 @@ def _q_q3_shipping_revenue(sf_dir: str):
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         )
-        .map_batches(li_partial, batch_format="pandas")
+        .map_batches(li_partial, batch_format="pyarrow")
         .repartition(8)  # drop degenerate empties pre-join
     )
 

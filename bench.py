@@ -316,8 +316,28 @@ def main() -> None:
         "compression_ratio",
         "ann_join_probe2",
         "distinct_ngram_ratio",
+        "q5_local_supplier_volume",
+        "cube_event_day",
+        # round-4 additions
+        "t1_file_status_merge",
+        "t2_date_status_merge",
+        "t3_recovery_replay",
+        "a6_checkpoint_metrics",
+        "k1_manifest_upsert",
+        "media_decode_dims",
     )
     names = headline + extended if "--extended" in sys.argv else headline
+
+    # --stats: capture per-query Dataset.stats() so a regression is
+    # attributable to a stage (VERDICT r3 item 2). Written to a side
+    # file, never stdout — the driver parses the one JSON line.
+    stats_path = os.environ.get(
+        "MLA_BENCH_STATS", "/tmp/mla_bench/query_stats.txt"
+    ) if "--stats" in sys.argv else None
+    stats_f = None
+    if stats_path:
+        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+        stats_f = open(stats_path, "w")
 
     q = entrymod.queries()
     for name in names:
@@ -327,6 +347,13 @@ def main() -> None:
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         queries[name] = round(time.monotonic() - t0, 3)
+        if stats_f is not None and hasattr(res, "stats"):
+            stats_f.write(
+                f"===== {name}: {queries[name]}s =====\n{res.stats()}\n"
+            )
+            stats_f.flush()
+    if stats_f is not None:
+        stats_f.close()
 
     import ray
 

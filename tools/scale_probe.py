@@ -13,9 +13,9 @@ import os
 import sys
 import time
 
-from matomo_log_analytics_ray.io import read_parquet as _read_parquet
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from matomo_log_analytics_ray.io import read_parquet as _read_parquet  # noqa: E402
 
 import numpy as np
 import pandas as pd
