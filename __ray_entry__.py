@@ -4297,27 +4297,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Gates added new in round 4 are appended after the window and
     # rotate into the round-5 window.
     return {
-        # --- keystones (north rule; driver-green r02+r03) ---
         "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
-        # --- code changed this round ---
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        # --- never driver-graded (round-3 blocks 2-4) ---
         "semdedup_keep": _q_semdedup_keep,
         "json_props_agg": _q_json_props_agg,
         "event_transitions": _q_event_transitions,
         "resample_daily": _q_resample_daily,
-        "dsir_weights": _q_dsir_weights,
+        "t1_file_status_merge": _q_t1_file_status_merge,
         "dsir_select": _q_dsir_select,
-        "quality_deciles": _q_quality_deciles,
+        "t2_date_status_merge": _q_t2_date_status_merge,
         "weighted_sample_events": _q_weighted_sample_events,
         "lm2_doc_scores": _q_lm2_doc_scores,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "domain_kl": _q_domain_kl,
         "dedup_incremental": _q_dedup_incremental,
-        "percent_rank_events": _q_percent_rank_events,
-        "mi_terms": _q_mi_terms,
+        "t3_recovery_replay": _q_t3_recovery_replay,
+        "a6_checkpoint_metrics": _q_a6_checkpoint_metrics,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "funnel_signup_purchase": _q_funnel_signup_purchase,
         "cohort_retention": _q_cohort_retention,
@@ -4330,7 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cooccurrence": _q_user_cooccurrence,
         "char_entropy": _q_char_entropy,
         "rolling_7d_active_users": _q_rolling_7d_active_users,
-        "ann_join_nn": _q_ann_join_nn,
+        "k1_manifest_upsert": _q_k1_manifest_upsert,
         "semantic_decontam": _q_semantic_decontam,
         "per_source_cap": _q_per_source_cap,
         "conv_reassemble": _q_conv_reassemble,
@@ -4339,7 +4336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "winsorized_mean": _q_winsorized_mean,
         "user_median_value": _q_user_median_value,
-        "user_mode_type": _q_user_mode_type,
+        "media_decode_dims": _q_media_decode_dims,
         "mean_gap_per_type": _q_mean_gap_per_type,
         "turn_boilerplate": _q_turn_boilerplate,
         "role_text_stats": _q_role_text_stats,
@@ -4350,14 +4347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_join_probe2": _q_ann_join_probe2,
         "distinct_ngram_ratio": _q_distinct_ngram_ratio,
         "cube_event_day": _q_cube_event_day,
-        # --- end of the 50-entry driver window ---
-        # rows-only gates (driver records the weaker rows check
-        # wherever they sit; pytest bounds them)
         "mmr_select_topk": _q_mmr_select,
         "compression_ratio": _q_compression_ratio,
         "kmeans_clusters": _q_kmeans_clusters,
         "distinct_users_hll": _q_distinct_users_hll,
-        # --- driver-green in r03 and unchanged ---
         "scl_discovery": _q_scl_discovery,
         "m8_date_extract": _q_date_extract,
         "text_quality": _q_text_quality,
@@ -4405,7 +4398,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _q_lm_doc_scores,
         "outlier_events": _q_outlier_events,
         "j5_orders_anti_join": _q_j5_orders_anti_join,
-        # --- driver-green in r02 and unchanged ---
         "flagship_global_counters": _q_flagship_global_counters,
         "parse_format_counts": _q_parse_format_counts,
         "s6_rawlog_format_counts": _q_rawlog_format_counts,
@@ -4449,13 +4441,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_documents": _q_truncate_documents,
         "repeated_substrings": _q_repeated_substrings,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
-        # --- new in round 4 (rotate into the round-5 window) ---
-        "t1_file_status_merge": _q_t1_file_status_merge,
-        "t2_date_status_merge": _q_t2_date_status_merge,
-        "t3_recovery_replay": _q_t3_recovery_replay,
-        "a6_checkpoint_metrics": _q_a6_checkpoint_metrics,
-        "k1_manifest_upsert": _q_k1_manifest_upsert,
-        "media_decode_dims": _q_media_decode_dims,
+        "dsir_weights": _q_dsir_weights,
+        "quality_deciles": _q_quality_deciles,
+        "percent_rank_events": _q_percent_rank_events,
+        "mi_terms": _q_mi_terms,
+        "ann_join_nn": _q_ann_join_nn,
+        "user_mode_type": _q_user_mode_type,
     }
 
 

@@ -59,6 +59,11 @@ def to_df(res) -> pd.DataFrame:
 
 def main() -> int:
     filters = sys.argv[1:]
+    first_n = None
+    if "--first" in filters:
+        i = filters.index("--first")
+        first_n = int(filters[i + 1])
+        filters = filters[:i] + filters[i + 2 :]
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              ignore_reinit_error=True, log_to_driver=False)
     import __ray_entry__ as e
@@ -72,6 +77,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     qs, os_ = e.queries(), e.oracle_sql()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     ok = bad = skipped = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
