@@ -3392,6 +3392,56 @@ def _q_user_type_entropy(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def _q_decayed_user_activity(sf_dir: str):
+    """Exponential time-decay activity score per user:
+    score(u) = sum over u's events of value * exp(-(T_ref - ts)/tau)
+    (T_ref = 1 Feb 2024, tau = 7 days) — the classic recency-weighted
+    engagement feature (decayed sums are associative, so per-batch
+    partials pre-reduce before ONE high-cardinality grouped sum; a
+    hot user never funnels raw rows). Reference parity: the summary
+    rollups in reference lib_summary usage are plain sums; the decay
+    weighting is the training-data extension (recency-weighted user
+    sampling)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from matomo_log_analytics_ray.ops.groupagg import sorted_group_sum
+
+    t_ref = np.datetime64("2024-02-01T00:00:00", "us")
+    tau_us = 7.0 * 86400.0 * 1e6
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        dt = (t_ref - b["ts"].to_numpy(dtype="datetime64[us]")).astype(
+            np.int64
+        )
+        w = b["value"].to_numpy(dtype=np.float64) * np.exp(-dt / tau_us)
+        return (
+            pd.DataFrame({"user_id": b["user_id"], "w": w})
+            .groupby("user_id", as_index=False)["w"]
+            .sum()
+        )
+
+    ev = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    agg = sorted_group_sum(
+        ev.map_batches(partials, batch_format="pandas"),
+        ["user_id"],
+        "w",
+        alias="decay_score",
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "decay_score": b["decay_score"].round(6),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources: each distinct
     (word, source) one-hot folds through ONE sorted-run sum into a
@@ -4447,6 +4497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mi_terms": _q_mi_terms,
         "ann_join_nn": _q_ann_join_nn,
         "user_mode_type": _q_user_mode_type,
+        "decayed_user_activity": _q_decayed_user_activity,
     }
 
 
@@ -5348,6 +5399,12 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " ROUND(AVG(LEAST(GREATEST(e.value, t.lo), t.hi)), 6) AS wmean,"
             " CAST(COUNT(*) AS BIGINT) AS n"
             " FROM events e JOIN t USING (event_type) GROUP BY 1"
+        ),
+        "decayed_user_activity": (
+            "SELECT user_id, ROUND(SUM(value * EXP("
+            " -(epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))"
+            " / (7.0 * 86400 * 1e6))), 6) AS decay_score"
+            " FROM events GROUP BY 1"
         ),
         "user_type_entropy": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) n FROM events"

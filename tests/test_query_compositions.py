@@ -46,6 +46,7 @@ NEW_GATES = [
     "ann_join_probe2",
     "distinct_ngram_ratio",
     "cube_event_day",
+    "decayed_user_activity",
 ]
 
 
