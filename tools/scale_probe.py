@@ -667,6 +667,122 @@ def main_round4() -> None:
         ],
     ))
 
+    # --- decayed activity score at 20M rows (round-4 op) ---
+    from matomo_log_analytics_ray.ops.groupagg import sorted_group_sum
+
+    t_ref = np.datetime64("2024-02-01T00:00:00", "us")
+    tau_us = 7.0 * 86400.0 * 1e6
+
+    def decay_partials(b: pd.DataFrame) -> pd.DataFrame:
+        dt_ = (t_ref - b["ts"].to_numpy(dtype="datetime64[us]")).astype(np.int64)
+        w = b["value"].to_numpy(dtype=np.float64) * np.exp(-dt_ / tau_us)
+        return (
+            pd.DataFrame({"user_id": b["user_id"], "w": w})
+            .groupby("user_id", as_index=False)["w"].sum()
+        )
+
+    def decay():
+        ev = _read_parquet(src, columns=["user_id", "ts", "value"])
+        return sorted_group_sum(
+            ev.map_batches(decay_partials, batch_format="pandas"),
+            ["user_id"], "w", alias="decay_score",
+        ).materialize()
+
+    t0 = time.monotonic()
+    out = decay()
+    dt = time.monotonic() - t0
+    results["decayed_activity_20m"] = {
+        "sec": round(dt, 2), "rows_out": out.count(),
+        "rows_per_sec": round(N_ROWS / dt)}
+    print(f"decayed_activity_20m: {results['decayed_activity_20m']}",
+          flush=True)
+
+    # --- real media decode throughput (built-in BMP/WAV codecs) ---
+    from matomo_log_analytics_ray.ops import multimodal
+
+    n_media = 100_000
+    tbl = multimodal.generate_fake_media(n_media, seed=7)
+    media = ray.data.from_arrow(tbl).repartition(32)
+
+    t0 = time.monotonic()
+    dims = multimodal.decode_dims(media, batch_size=256, concurrency=8)
+    n_dec = dims.count()
+    dt = time.monotonic() - t0
+    results["media_decode_100k"] = {
+        "sec": round(dt, 2), "rows_out": n_dec,
+        "payloads_per_sec": round(n_media / dt)}
+    print(f"media_decode_100k: {results['media_decode_100k']}", flush=True)
+
+    t0 = time.monotonic()
+    feats = multimodal.extract_features(
+        media, batch_size=256, concurrency=8)
+    n_f = feats.count()
+    dt = time.monotonic() - t0
+    results["media_features_100k"] = {
+        "sec": round(dt, 2), "rows_out": n_f,
+        "payloads_per_sec": round(n_media / dt)}
+    print(f"media_features_100k: {results['media_features_100k']}",
+          flush=True)
+
+    # --- discovery manifest merge at ~1000x the testdata file count ---
+    import shutil
+
+    from matomo_log_analytics_ray.control import discovery
+
+    n_files = 100_000
+    listing = ray.data.range(n_files).map_batches(
+        lambda b: pd.DataFrame({
+            "path": [
+                f"/logs/scl/2024-01-{(i % 28) + 1:02d}/scielo.br."
+                f"{i}.log.gz" for i in b["id"].astype(np.int64)
+            ]}),
+        batch_format="pandas",
+    )
+    mdir = "/tmp/mla_ray/probe_manifest_r4"
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir, exist_ok=True)
+
+    def discover_merge():
+        new_rows = discovery.build_manifest(listing, "scl")
+        new_rows.write_parquet(mdir)  # distributed write, no driver concat
+        return _read_parquet(mdir)
+
+    t0 = time.monotonic()
+    out = discover_merge()
+    dt = time.monotonic() - t0
+    results["discovery_manifest_100k_files"] = {
+        "sec": round(dt, 2), "rows_out": out.count(),
+        "files_per_sec": round(n_files / dt)}
+    print("discovery_manifest_100k_files:"
+          f" {results['discovery_manifest_100k_files']}", flush=True)
+
+    # --- recovery replay at a 512k-row journal ---
+    from matomo_log_analytics_ray.control import recovery
+
+    rdir = "/tmp/mla_ray/probe_recovery_r4"
+    shutil.rmtree(rdir, ignore_errors=True)
+    os.makedirs(rdir, exist_ok=True)
+    n_rows_j = 512_000
+    per_f = n_rows_j // 64
+    rng = np.random.default_rng(11)
+    for f_i in range(64):
+        pd.DataFrame({
+            "partition_id": [f"p{f_i}_{j}" for j in range(per_f)],
+            "total_lines": rng.integers(1, 10_000, per_f),
+            "lines_parsed": rng.integers(0, 10_000, per_f),
+            "status": rng.integers(0, 5, per_f),
+        }).to_csv(f"{rdir}/recovery_{f_i}.tsv", sep="\t", header=False,
+                  index=False)
+
+    t0 = time.monotonic()
+    df, _status = recovery.replay_recovery(rdir)
+    dt = time.monotonic() - t0
+    results["recovery_replay_512k"] = {
+        "sec": round(dt, 2), "rows_out": len(df),
+        "rows_per_sec": round(n_rows_j / dt)}
+    print(f"recovery_replay_512k: {results['recovery_replay_512k']}",
+          flush=True)
+
     print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
                       "results": results}))
     ray.shutdown()
