@@ -325,6 +325,7 @@ def main() -> None:
         "a6_checkpoint_metrics",
         "k1_manifest_upsert",
         "media_decode_dims",
+        "decayed_user_activity",
     )
     names = headline + extended if "--extended" in sys.argv else headline
 
