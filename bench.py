@@ -329,12 +329,16 @@ def main() -> None:
     )
     names = headline + extended if "--extended" in sys.argv else headline
 
-    # --stats: capture per-query Dataset.stats() so a regression is
-    # attributable to a stage (VERDICT r3 item 2). Written to a side
-    # file, never stdout — the driver parses the one JSON line.
+    # Per-query Dataset.stats() capture (default ON) so a regression
+    # in any recorded bench run is attributable to a stage (VERDICT r3
+    # item 2). Written to a side file, never stdout — the driver
+    # parses the one JSON line. MLA_BENCH_STATS=<path> overrides,
+    # MLA_BENCH_STATS=0 disables.
     stats_path = os.environ.get(
         "MLA_BENCH_STATS", "/tmp/mla_bench/query_stats.txt"
-    ) if "--stats" in sys.argv else None
+    )
+    if stats_path in ("", "0"):  # MLA_BENCH_STATS=0 disables
+        stats_path = None
     stats_f = None
     if stats_path:
         os.makedirs(os.path.dirname(stats_path), exist_ok=True)
