@@ -3392,6 +3392,23 @@ def _q_user_type_entropy(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+def _q_quantile_sketch_value(sf_dir: str):
+    """One-pass mergeable quantile sketch over events.value
+    (ops/qsketch — the single-scan complement to the exact multi-pass
+    histogram refinement). At gate scale ``k`` exceeds every batch, so
+    the sketch provably reduces to EXACT percentile_disc (weights all
+    1, the weighted-rank finish degenerates to ceil(n*q)-1) — the gate
+    hashes the plumbing (NaN policy, weight conservation, merge order)
+    while tests/test_qsketch.py bounds the compaction path's rank
+    error at forced multi-level settings."""
+    from matomo_log_analytics_ray.ops import qsketch
+
+    ev = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return qsketch.quantile_sketch(
+        ev, "value", qs=(0.5, 0.9, 0.99), k=1_000_000
+    )
+
+
 def _q_decayed_user_activity(sf_dir: str):
     """Exponential time-decay activity score per user:
     score(u) = sum over u's events of value * exp(-(T_ref - ts)/tau)
@@ -4498,6 +4515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_join_nn": _q_ann_join_nn,
         "user_mode_type": _q_user_mode_type,
         "decayed_user_activity": _q_decayed_user_activity,
+        "quantile_sketch_value": _q_quantile_sketch_value,
     }
 
 
@@ -5399,6 +5417,11 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " ROUND(AVG(LEAST(GREATEST(e.value, t.lo), t.hi)), 6) AS wmean,"
             " CAST(COUNT(*) AS BIGINT) AS n"
             " FROM events e JOIN t USING (event_type) GROUP BY 1"
+        ),
+        "quantile_sketch_value": (
+            "SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events"
+            " UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events"
+            " UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"
         ),
         "decayed_user_activity": (
             "SELECT user_id, ROUND(SUM(value * EXP("

@@ -1,0 +1,109 @@
+"""Mergeable quantile sketch: rank-error bounds vs exact, weight
+conservation, merge invariance, degenerate inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from matomo_log_analytics_ray.ops import qsketch
+
+
+def _rank_error(data: np.ndarray, q: float, est: float) -> float:
+    """Distance from q to the rank INTERVAL est occupies (a tied
+    value spans [frac(< est), frac(<= est)]; any q inside is exact)."""
+    s = np.sort(data)
+    lo = np.searchsorted(s, est, side="left") / len(s)
+    hi = np.searchsorted(s, est, side="right") / len(s)
+    if lo <= q <= hi:
+        return 0.0
+    return min(abs(q - lo), abs(q - hi))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "zipf", "normal"])
+def test_sketch_rank_error(dist):
+    rng = np.random.default_rng(42)
+    n = 200_000
+    if dist == "uniform":
+        data = rng.random(n) * 1000
+    elif dist == "zipf":
+        data = rng.zipf(1.5, n).astype(np.float64)
+    else:
+        data = rng.normal(50, 10, n)
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"x": c}) for c in np.array_split(data, 16)]
+    )
+    out = qsketch.quantile_sketch(ds, "x", qs=(0.5, 0.9, 0.99), k=1024)
+    for r in out.itertuples():
+        # one level: error <~ 1/(2k); allow 4x slack for ties (zipf)
+        assert _rank_error(data, r.q, r.value) < 4 / (2 * 1024), (
+            dist, r.q, r.value)
+
+
+def test_block_summary_weight_conservation():
+    rng = np.random.default_rng(0)
+    v = rng.random(10_000)
+    vals, w = qsketch.block_summary(v, 128)
+    assert len(vals) == 128
+    assert w.sum() == pytest.approx(10_000)
+    # NaNs dropped from the weight budget
+    v[::10] = np.nan
+    vals, w = qsketch.block_summary(v, 128)
+    assert w.sum() == pytest.approx(9_000)
+
+
+def test_compact_preserves_profile():
+    rng = np.random.default_rng(1)
+    vals = rng.random(50_000)
+    w = np.ones(50_000)
+    cv, cw = qsketch.compact_summaries(vals, w, 512)
+    assert len(cv) == 512
+    assert cw.sum() == pytest.approx(50_000)
+    # median of the compacted profile tracks the raw median
+    order = np.argsort(cv)
+    cum = np.cumsum(cw[order])
+    med = cv[order][np.searchsorted(cum, 25_000)]
+    assert abs(med - np.median(vals)) < 0.01
+
+
+def test_merge_invariance():
+    """Sketching [A ++ B] and sketching A, B separately then merging
+    agree to within the error bound — the mergeability contract."""
+    rng = np.random.default_rng(7)
+    a, b = rng.random(40_000), rng.random(40_000) + 0.5
+    both = np.concatenate([a, b])
+    va, wa = qsketch.block_summary(a, 512)
+    vb, wb = qsketch.block_summary(b, 512)
+    mv, mw = qsketch.compact_summaries(
+        np.concatenate([va, vb]), np.concatenate([wa, wb]), 512
+    )
+    order = np.argsort(mv)
+    cum = np.cumsum(mw[order])
+    for q in (0.25, 0.5, 0.9):
+        est = mv[order][np.searchsorted(cum, q * cum[-1], side="left")]
+        assert _rank_error(both, q, est) < 4 / (2 * 512)
+
+
+def test_degenerate():
+    ds = ray.data.from_pandas(pd.DataFrame({"x": [np.nan, np.nan]}))
+    out = qsketch.quantile_sketch(ds, "x", qs=(0.5,))
+    assert np.isnan(out["value"].iloc[0])
+    ds1 = ray.data.from_pandas(pd.DataFrame({"x": [3.0]}))
+    out1 = qsketch.quantile_sketch(ds1, "x", qs=(0.5, 0.99))
+    assert (out1["value"] == 3.0).all()
+
+
+def test_hierarchical_compaction_levels():
+    """Force the multi-level path with a tiny driver_limit: result
+    still within the (levels+1)-scaled bound."""
+    rng = np.random.default_rng(3)
+    data = rng.random(100_000)
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"x": c}) for c in np.array_split(data, 32)]
+    )
+    out = qsketch.quantile_sketch(
+        ds, "x", qs=(0.5, 0.9), k=256, driver_limit=600
+    )
+    for r in out.itertuples():
+        assert _rank_error(data, r.q, r.value) < 4 * 3 / (2 * 256)

@@ -47,6 +47,7 @@ NEW_GATES = [
     "distinct_ngram_ratio",
     "cube_event_day",
     "decayed_user_activity",
+    "quantile_sketch_value",
 ]
 
 

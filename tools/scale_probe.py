@@ -783,6 +783,38 @@ def main_round4() -> None:
     print(f"recovery_replay_512k: {results['recovery_replay_512k']}",
           flush=True)
 
+    # --- one-pass quantile sketch vs exact refinement at 20M rows ---
+    from matomo_log_analytics_ray.ops import qsketch, quantiles
+
+    def sk():
+        return qsketch.quantile_sketch(
+            _read_parquet(src, columns=["value"]), "value",
+            qs=(0.5, 0.9, 0.99), k=4096)
+
+    t0 = time.monotonic()
+    est = sk()
+    dt = time.monotonic() - t0
+    results["quantile_sketch_20m"] = {
+        "sec": round(dt, 2), "rows_out": len(est),
+        "rows_per_sec": round(N_ROWS / dt)}
+    print(f"quantile_sketch_20m: {results['quantile_sketch_20m']}"
+          f"  {est.to_dict('records')}", flush=True)
+
+    def exact():
+        ev = _read_parquet(src, columns=["event_type", "value"]).map_batches(
+            lambda b: b.assign(g=0), batch_format="pandas")
+        return quantiles.grouped_quantiles(ev, "g", "value",
+                                           qs=(0.5, 0.9, 0.99))
+
+    t0 = time.monotonic()
+    ex = exact()
+    dt = time.monotonic() - t0
+    results["quantile_exact_20m"] = {
+        "sec": round(dt, 2), "rows_out": len(ex),
+        "rows_per_sec": round(N_ROWS / dt)}
+    print(f"quantile_exact_20m: {results['quantile_exact_20m']}"
+          f"  {ex.to_dict('records')}", flush=True)
+
     print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
                       "results": results}))
     ray.shutdown()
