@@ -3409,6 +3409,20 @@ def _q_quantile_sketch_value(sf_dir: str):
     )
 
 
+def _q_grouped_quantile_sketch(sf_dir: str):
+    """Per-type one-pass quantile sketch (ops/qsketch grouped variant)
+    at exact-reduction settings — see _q_quantile_sketch_value; the
+    compaction path's per-group error bound lives in test_qsketch."""
+    from matomo_log_analytics_ray.ops import qsketch
+
+    ev = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return qsketch.grouped_quantile_sketch(
+        ev, "event_type", "value", qs=(0.5, 0.9), k=1_000_000
+    )
+
+
 def _q_decayed_user_activity(sf_dir: str):
     """Exponential time-decay activity score per user:
     score(u) = sum over u's events of value * exp(-(T_ref - ts)/tau)
@@ -4516,6 +4530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_type": _q_user_mode_type,
         "decayed_user_activity": _q_decayed_user_activity,
         "quantile_sketch_value": _q_quantile_sketch_value,
+        "grouped_quantile_sketch": _q_grouped_quantile_sketch,
     }
 
 
@@ -5417,6 +5432,12 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " ROUND(AVG(LEAST(GREATEST(e.value, t.lo), t.hi)), 6) AS wmean,"
             " CAST(COUNT(*) AS BIGINT) AS n"
             " FROM events e JOIN t USING (event_type) GROUP BY 1"
+        ),
+        "grouped_quantile_sketch": (
+            "SELECT event_type, 0.5 AS q,"
+            " quantile_disc(value, 0.5) AS value FROM events GROUP BY 1"
+            " UNION ALL SELECT event_type, 0.9,"
+            " quantile_disc(value, 0.9) FROM events GROUP BY 1"
         ),
         "quantile_sketch_value": (
             "SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events"

@@ -41,7 +41,12 @@ import pandas as pd
 
 import ray.data
 
-__all__ = ["quantile_sketch", "block_summary", "compact_summaries"]
+__all__ = [
+    "quantile_sketch",
+    "grouped_quantile_sketch",
+    "block_summary",
+    "compact_summaries",
+]
 
 
 def block_summary(v: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -139,3 +144,74 @@ def quantile_sketch(
         pos = int(np.searchsorted(cw, q * total, side="left"))
         out.append((float(q), float(v[min(pos, len(v) - 1)])))
     return pd.DataFrame(out, columns=["q", "value"])
+
+
+def grouped_quantile_sketch(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = 1024,
+    driver_limit: int = 1_000_000,
+    max_levels: int = 4,
+) -> pd.DataFrame:
+    """Per-group one-pass approximate quantiles, for BOUNDED group
+    cardinality (the ops/quantiles.grouped_quantiles contract — event
+    types, sinks, sources; per-USER quantiles belong to the
+    rank-and-select path). One k-point summary per (group, block)
+    flows back; compaction levels apply per group. Driver state is
+    O(groups x driver-share), with ``driver_limit`` splitting across
+    groups lazily (compaction only triggers past it)."""
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in b.groupby(group_col, sort=False):
+            v, w = block_summary(
+                sub[col].to_numpy(dtype=np.float64, na_value=np.nan), k
+            )
+            outs.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
+        if not outs:
+            return pd.DataFrame(
+                {group_col: b[group_col].iloc[:0], "v": [], "w": []}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    summ = ds.select_columns([group_col, col]).map_batches(
+        summarize, batch_format="pandas"
+    ).materialize()
+
+    def compact_block(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in b.groupby(group_col, sort=False):
+            v, w = compact_summaries(
+                sub["v"].to_numpy(dtype=np.float64),
+                sub["w"].to_numpy(dtype=np.float64),
+                k,
+            )
+            outs.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
+        return pd.concat(outs, ignore_index=True)
+
+    levels = 0
+    while summ.count() > driver_limit and levels < max_levels:
+        # co-locate a group's summaries so compaction folds across
+        # blocks; the summary table is tiny relative to the input
+        summ = summ.sort(group_col).map_batches(
+            compact_block, batch_format="pandas"
+        ).materialize()
+        levels += 1
+
+    local = summ.to_pandas()
+    out = []
+    for g, sub in local.groupby(group_col, sort=True):
+        order = np.argsort(sub["v"].to_numpy(), kind="mergesort")
+        v = sub["v"].to_numpy()[order]
+        w = sub["w"].to_numpy()[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0.0
+        for q in qs:
+            if total == 0.0:
+                out.append((g, float(q), np.nan))
+                continue
+            pos = int(np.searchsorted(cw, q * total, side="left"))
+            out.append((g, float(q), float(v[min(pos, len(v) - 1)])))
+    return pd.DataFrame(out, columns=[group_col, "q", "value"])

@@ -107,3 +107,38 @@ def test_hierarchical_compaction_levels():
     )
     for r in out.itertuples():
         assert _rank_error(data, r.q, r.value) < 4 * 3 / (2 * 256)
+
+
+def test_grouped_sketch_vs_exact_reduction():
+    """k >= every batch -> grouped sketch is exact percentile_disc per
+    group (the quantile_sketch_value gate argument, per-group)."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30_000),
+        "x": rng.random(30_000) * 100,
+    })
+    ds = ray.data.from_pandas(
+        [c for c in np.array_split(df, 8)]
+    )
+    out = qsketch.grouped_quantile_sketch(
+        ds, "g", "x", qs=(0.5, 0.9), k=100_000
+    )
+    for r in out.itertuples():
+        sub = np.sort(df[df["g"] == r.g]["x"].to_numpy())
+        exact = sub[int(np.ceil(len(sub) * r.q)) - 1]
+        assert r.value == pytest.approx(exact), (r.g, r.q)
+
+
+def test_grouped_sketch_compaction_bound():
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 120_000),
+        "x": rng.normal(0, 1, 120_000),
+    })
+    ds = ray.data.from_pandas([c for c in np.array_split(df, 24)])
+    out = qsketch.grouped_quantile_sketch(
+        ds, "g", "x", qs=(0.5, 0.99), k=256, driver_limit=500
+    )
+    for r in out.itertuples():
+        sub = df[df["g"] == r.g]["x"].to_numpy()
+        assert _rank_error(sub, r.q, r.value) < 4 * 3 / (2 * 256)

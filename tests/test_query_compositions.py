@@ -48,6 +48,7 @@ NEW_GATES = [
     "cube_event_day",
     "decayed_user_activity",
     "quantile_sketch_value",
+    "grouped_quantile_sketch",
 ]
 
 
