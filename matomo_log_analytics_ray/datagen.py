@@ -365,8 +365,19 @@ def transcripts_shards_dir(
 
         idx = [i for i in range(n_shards) if min(per, n_turns - i * per) > 0]
         if ray.is_initialized():
+            # Bounded in-flight window: each shard builder holds the
+            # whole shard in heap (a 1M-turn shard peaks ~2-3 GB), so
+            # session-wide fan-out (32+ concurrent at 64M turns) OOMs
+            # the box. 8 concurrent builders saturate generation
+            # (string formatting is the bottleneck) within ~24 GB.
             shard_task = ray.remote(num_cpus=1)(write_shard)
-            ray.get([shard_task.remote(i) for i in idx])
+            max_inflight = 8
+            pending: list = []
+            for i in idx:
+                if len(pending) >= max_inflight:
+                    _, pending = ray.wait(pending, num_returns=1)
+                pending.append(shard_task.remote(i))
+            ray.get(pending)
         else:
             for i in idx:
                 write_shard(i)
