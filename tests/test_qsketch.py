@@ -142,3 +142,35 @@ def test_grouped_sketch_compaction_bound():
     for r in out.itertuples():
         sub = df[df["g"] == r.g]["x"].to_numpy()
         assert _rank_error(sub, r.q, r.value) < 4 * 3 / (2 * 256)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=5_000,
+    ),
+    st.integers(min_value=16, max_value=512),
+)
+def test_summary_plus_compact_error_bound_property(data, k):
+    """For ANY value list and k: block_summary -> compact_summaries
+    keeps every quantile within the 1/k-per-level rank bound and
+    conserves total weight (pure-kernel property, no Ray)."""
+    arr = np.asarray(data, dtype=np.float64)
+    v, w = qsketch.block_summary(arr, k)
+    assert w.sum() == pytest.approx(len(arr))
+    cv, cw = qsketch.compact_summaries(v, w, k // 2)
+    assert cw.sum() == pytest.approx(len(arr))
+    order = np.argsort(cv, kind="mergesort")
+    sv, sw = cv[order], cw[order]
+    cum = np.cumsum(sw)
+    for q in (0.1, 0.5, 0.9):
+        pos = int(np.searchsorted(cum, q * cum[-1], side="left"))
+        est = sv[min(pos, len(sv) - 1)]
+        # two levels (summary + compaction at k/2): 1/(2k) + 1/k,
+        # with 4x tie/rounding slack
+        assert _rank_error(arr, q, est) <= 4 * (0.5 / k + 1.0 / (k // 2))
