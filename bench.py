@@ -341,24 +341,28 @@ def main() -> None:
         stats_path = None
     stats_f = None
     if stats_path:
-        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+        stats_dir = os.path.dirname(stats_path)
+        if stats_dir:  # bare filename -> cwd, no makedirs("") crash
+            os.makedirs(stats_dir, exist_ok=True)
         stats_f = open(stats_path, "w")
 
     q = entrymod.queries()
-    for name in names:
-        t0 = time.monotonic()
-        res = q[name](sf_dir)
-        # consume lazily-built datasets so the timing is end-to-end
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        queries[name] = round(time.monotonic() - t0, 3)
-        if stats_f is not None and hasattr(res, "stats"):
-            stats_f.write(
-                f"===== {name}: {queries[name]}s =====\n{res.stats()}\n"
-            )
-            stats_f.flush()
-    if stats_f is not None:
-        stats_f.close()
+    try:
+        for name in names:
+            t0 = time.monotonic()
+            res = q[name](sf_dir)
+            # consume lazily-built datasets so the timing is end-to-end
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
+            if stats_f is not None and hasattr(res, "stats"):
+                stats_f.write(
+                    f"===== {name}: {queries[name]}s =====\n{res.stats()}\n"
+                )
+                stats_f.flush()
+    finally:
+        if stats_f is not None:
+            stats_f.close()
 
     import ray
 

@@ -375,7 +375,11 @@ def transcripts_shards_dir(
             pending: list = []
             for i in idx:
                 if len(pending) >= max_inflight:
-                    _, pending = ray.wait(pending, num_returns=1)
+                    done, pending = ray.wait(pending, num_returns=1)
+                    # surface shard-builder failures NOW — otherwise a
+                    # failed task's exception is dropped and os.replace
+                    # publishes (and caches) a corpus with missing shards
+                    ray.get(done)
                 pending.append(shard_task.remote(i))
             ray.get(pending)
         else:

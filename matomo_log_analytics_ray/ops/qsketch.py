@@ -169,6 +169,15 @@ def grouped_quantile_sketch(
             v, w = block_summary(
                 sub[col].to_numpy(dtype=np.float64, na_value=np.nan), k
             )
+            if len(v) == 0:
+                # all-null group: keep a zero-weight NaN marker so the
+                # group reaches the driver finish and yields (g, q, NaN)
+                # — matching the SQL GROUP BY convention (quantile over
+                # all NULLs = NULL) instead of silently dropping the
+                # group. Zero weight never moves the cumulative-rank
+                # profile, so mixed groups are unaffected.
+                v = np.array([np.nan])
+                w = np.array([0.0])
             outs.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
         if not outs:
             return pd.DataFrame(
@@ -189,6 +198,12 @@ def grouped_quantile_sketch(
                 k,
             )
             outs.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
+        if not outs:
+            # an empty block can reach here after sort's range
+            # partitioning; mirror summarize's typed-empty fallback
+            return pd.DataFrame(
+                {group_col: b[group_col].iloc[:0], "v": [], "w": []}
+            )
         return pd.concat(outs, ignore_index=True)
 
     levels = 0

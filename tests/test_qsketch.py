@@ -144,6 +144,44 @@ def test_grouped_sketch_compaction_bound():
         assert _rank_error(sub, r.q, r.value) < 4 * 3 / (2 * 256)
 
 
+def test_grouped_sketch_all_null_group_kept():
+    """A group whose values are ALL NaN must still appear in the
+    output with value NaN (the SQL GROUP-BY convention: quantile over
+    all NULLs is NULL, not a dropped group)."""
+    df = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "x": list(np.linspace(0, 1, 50)) + [np.nan] * 50,
+    })
+    ds = ray.data.from_pandas([c for c in np.array_split(df, 4)])
+    out = qsketch.grouped_quantile_sketch(ds, "g", "x", qs=(0.5,))
+    assert set(out["g"]) == {"a", "b"}
+    a = out[out["g"] == "a"]["value"].iloc[0]
+    b = out[out["g"] == "b"]["value"].iloc[0]
+    assert not np.isnan(a)
+    assert np.isnan(b)
+    # zero-weight markers must not shift a mixed group's quantiles
+    assert abs(a - 0.5) < 0.05
+
+
+def test_grouped_sketch_compaction_with_empty_blocks():
+    """Multi-level compaction path (driver_limit forces sort -> range
+    partitioning, which can emit empty blocks) must not raise on
+    pd.concat of an empty outs list."""
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 60_000),
+        "x": rng.random(60_000),
+    })
+    ds = ray.data.from_pandas([c for c in np.array_split(df, 16)])
+    out = qsketch.grouped_quantile_sketch(
+        ds, "g", "x", qs=(0.5,), k=128, driver_limit=200
+    )
+    assert set(out["g"]) == {"a", "b", "c"}
+    for r in out.itertuples():
+        sub = df[df["g"] == r.g]["x"].to_numpy()
+        assert _rank_error(sub, r.q, r.value) < 4 * 4 / (2 * 128)
+
+
 from hypothesis import given, settings, strategies as st
 
 
