@@ -112,13 +112,23 @@ def repeated_substring_docs(
         first[1:] = (hs_[1:] != hs_[:-1]) | (ds_[1:] != ds_[:-1])
         return pd.DataFrame({"h": hs_[first], id_col: ids[ds_[first]]})
 
-    pairs = ds.map_batches(pairs_fn, batch_format="pandas").materialize()
+    from . import drop_empty_blocks
+
+    # drop zero-row blocks (docs blocks shorter than w emit none):
+    # a single empty block makes every downstream map stage emit a
+    # schema-less block and defeats the executor's schema dedup
+    pairs = drop_empty_blocks(
+        ds.map_batches(pairs_fn, batch_format="pandas").materialize()
+    )
     counts = dedup.sorted_group_counts(
         pairs.map_batches(lambda b: b[["h"]], batch_format="pandas"), ["h"], alias="n"
     )
-    shared = counts.map_batches(
-        lambda b: b[b["n"].astype("int64") >= 2][["h"]], batch_format="pandas"
-    ).materialize()
+    shared = drop_empty_blocks(
+        counts.map_batches(
+            lambda b: b[b["n"].astype("int64") >= 2][["h"]],
+            batch_format="pandas",
+        ).materialize()
+    )
 
     n_shared = shared.count()
     if n_shared <= broadcast_limit:
@@ -142,7 +152,7 @@ def repeated_substring_docs(
             # zeros, and shared windows are typically <1% of pairs —
             # keeping misses would sort the whole pair stream for
             # nothing (~100x the volume at the 200k-doc probe)
-            return out[out["_hit"] == 1]
+            return out[out["_hit"] == 1][[id_col, "_hit"]]
 
         hits = pairs.map_batches(count_hits, batch_format="pandas")
     else:
@@ -166,9 +176,11 @@ def repeated_substring_docs(
     # may split; sum via the sorted-run counter machinery
     from .groupagg import sorted_group_sum
 
-    hits = hits.map_batches(
-        lambda b: b[[id_col, "_hit"]], batch_format="pandas"
-    ).materialize()
+    # NOTE: both branches already emit exactly [id_col, "_hit"] — no
+    # extra projection map here: fusing a map after a stage that can
+    # emit EMPTY batches makes Ray skip the fused UDF and emit a
+    # schema-less block (the "different schema" warning family)
+    hits = drop_empty_blocks(hits.materialize())
     if hits.count() == 0:
         # nothing shared anywhere: an all-empty right side would reach
         # the join as schema-less blocks (the NOTES landmine) — emit
@@ -182,7 +194,15 @@ def repeated_substring_docs(
             ),
             batch_format="pandas",
         )
-    sums = sorted_group_sum(hits, [id_col], "_hit", alias="n_shared_windows")
+    # sorted_group_sum's union carries typed-empty "done" blocks (a
+    # block whose runs were all edges filters to zero rows); any map
+    # over them is skipped by Ray and emits a schema-less block, so
+    # rebuild the block list first (the sums table is per-hit-doc ints)
+    sums = drop_empty_blocks(
+        sorted_group_sum(
+            hits, [id_col], "_hit", alias="n_shared_windows"
+        ).materialize()
+    )
     # docs with no windows at all (shorter than w) still need a row;
     # the repartition rebuilds the sums block list (sort/union stages
     # can emit schema-less empties that poison the join aggregator)
@@ -201,6 +221,11 @@ def repeated_substring_docs(
         num_partitions=np_join,
         on=(id_col,),
     )
+    # a hash partition with no matching ids emits an EMPTY join block;
+    # fused maps skip empty batches and emit schema-less blocks, so
+    # rebuild the block list before the fill-zeros projection (the
+    # joined table is 2 ints per doc — tiny next to the pair stream)
+    joined = drop_empty_blocks(joined.materialize())
     return joined.map_batches(
         lambda b: pd.DataFrame(
             {
