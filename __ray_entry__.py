@@ -4311,6 +4311,59 @@ def _q_a6_checkpoint_metrics(sf_dir: str):
     )
 
 
+def _q_k3_gc_manifest(sf_dir: str):
+    """K3/K4/S4: the GC lifecycle under oracle grade (reference
+    proc/clean_data.py:21-58). Copies the fixture workspace to a fresh
+    scratch dir, runs the REAL clean_completed (directory listing ->
+    date extraction -> completed-dates semi-join -> tar.gz archive +
+    delete), and returns the manifest of what it actually DID — one
+    row (name, date, action, size_bytes) per archived/deleted file,
+    sizes captured before removal. The oracle replays the semi-join
+    over the pre-GC listing parquet; value equality proves the side
+    effects hit exactly the completed-date files."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import dates as cdates, lifecycle
+
+    ws = datagen.gc_workspace_dir()
+    scratch = "/tmp/mla_ray/gate_gc"
+    shutil.rmtree(scratch, ignore_errors=True)
+    pre = os.path.join(scratch, "pretables")
+    r5 = os.path.join(scratch, "r5")
+    shutil.copytree(os.path.join(ws, "pretables"), pre)
+    shutil.copytree(os.path.join(ws, "r5"), r5)
+    sizes = {
+        name: os.path.getsize(os.path.join(d, name))
+        for d in (pre, r5)
+        for name in os.listdir(d)
+    }
+    rollup = pd.read_parquet(os.path.join(ws, "rollup.parquet"))
+    res = lifecycle.clean_completed(
+        rollup, "scl", pre, os.path.join(scratch, "archive"), r5
+    )
+    rows = [
+        (os.path.basename(p)[: -len(".tar.gz")], "archive")
+        for p in res["archived"]
+    ] + [(os.path.basename(p), "delete") for p in res["removed"]]
+    names = [r[0] for r in rows]
+    out = pd.DataFrame(
+        {
+            "name": names,
+            "date": cdates.extract_date(pd.Series(names, dtype=object)),
+            "action": [r[1] for r in rows],
+            "size_bytes": pd.Series(
+                [sizes[n] for n in names], dtype="int64"
+            ),
+        }
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out.sort_values("name").reset_index(drop=True)
+
+
 def _q_media_decode_dims(sf_dir: str):
     """REAL multimodal decode under oracle grade: the built-in
     pure-python BMP/WAV codecs decode every image/bmp and audio/wav
@@ -4409,6 +4462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "rolling_7d_active_users": _q_rolling_7d_active_users,
         "k1_manifest_upsert": _q_k1_manifest_upsert,
+        "k3_gc_manifest": _q_k3_gc_manifest,
         "semantic_decontam": _q_semantic_decontam,
         "per_source_cap": _q_per_source_cap,
         "conv_reassemble": _q_conv_reassemble,
@@ -4552,6 +4606,30 @@ def _t3_recovery_replay_sql() -> str:
         + f" FROM read_csv('{rdir}/*.tsv', delim='\t', header=false,"
         " columns={'partition_id': 'VARCHAR', 'total_lines': 'BIGINT',"
         " 'lines_parsed': 'BIGINT', 'status': 'BIGINT'})"
+    )
+
+
+def _k3_gc_manifest_sql() -> str:
+    """DuckDB twin of the GC lifecycle: replay the completed-dates
+    semi-join (J2/F4) over the fixture's pre-GC listing — pretable
+    files of scl-DATE_COMPLETED dates are archived, r5 files deleted.
+    The status constant is imported from the production module so the
+    two sides cannot drift."""
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import status as st
+
+    ws = datagen.gc_workspace_dir()
+    return (
+        "SELECT l.name AS name, l.date AS date,"
+        " CASE WHEN l.dir = 'pretables' THEN 'archive' ELSE 'delete' END"
+        " AS action, l.size_bytes AS size_bytes"
+        f" FROM read_parquet('{ws}/listing.parquet') l"
+        " WHERE l.date <> '' AND EXISTS ("
+        f"  SELECT 1 FROM read_parquet('{ws}/rollup.parquet') r"
+        "  WHERE r.collection = 'scl'"
+        f"  AND r.status = {int(st.DATE_COMPLETED)}"
+        "  AND r.date = l.date)"
+        " ORDER BY name"
     )
 
 
@@ -5638,6 +5716,7 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " SELECT * FROM base WHERE path NOT IN"
             " (SELECT path FROM base ORDER BY path LIMIT 80)"
         ),
+        "k3_gc_manifest": _k3_gc_manifest_sql(),
         "media_decode_dims": (
             "SELECT media_id, media_type,"
             " CASE WHEN media_type = 'image/bmp' THEN CAST(width AS BIGINT)"

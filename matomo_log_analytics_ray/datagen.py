@@ -742,3 +742,101 @@ def recovery_journal_dir(seed: int = 42, n_partitions: int = 60) -> str:
                 )
         os.replace(tmpd, d)
     return d
+
+
+def gc_workspace_dir(seed: int = 42) -> str:
+    """Deterministic GC-lifecycle fixture (K3/K4/S4, reference
+    proc/clean_data.py:21-58): a workspace with
+
+    - ``pretables/`` — dated ``<date>.tsv`` files (varying sizes) plus
+      date-free junk that the lifecycle must leave alone,
+    - ``r5/`` — ``r5-metrics-<date>.csv`` files,
+    - ``rollup.parquet`` — (collection, date, status) date-status rows
+      where only SOME dates are DATE_COMPLETED for 'scl' (and some are
+      completed for another collection only — must not clean),
+    - ``listing.parquet`` — the pre-GC ground truth (dir, name, date,
+      size_bytes) the DuckDB oracle replays the completed-dates
+      semi-join against.
+
+    Gates copy the workspace to a scratch dir and run the REAL
+    archive/delete paths there, so the cached fixture is never
+    consumed."""
+    from .control import dates as cdates, status as st
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    d = os.path.join(CACHE_DIR, f"gc_workspace_v1_seed{seed}")
+    if not os.path.isdir(d):
+        tmpd = d + ".tmp"
+        if os.path.isdir(tmpd):
+            import shutil
+
+            shutil.rmtree(tmpd)
+        pre = os.path.join(tmpd, "pretables")
+        r5 = os.path.join(tmpd, "r5")
+        os.makedirs(pre)
+        os.makedirs(r5)
+        rng = np.random.default_rng(seed)
+        base = np.datetime64("2024-01-01")
+        date_strs = [str(base + np.timedelta64(i, "D")) for i in range(30)]
+        rollup_rows = []
+        for i, ds in enumerate(date_strs):
+            status = st.DATE_COMPLETED if i % 3 == 0 else st.DATE_COMPUTED
+            rollup_rows.append(("scl", ds, status))
+            if i % 3 == 1:
+                # completed in ANOTHER collection only: must not clean
+                rollup_rows.append(("ven", ds, st.DATE_COMPLETED))
+        for i, ds in enumerate(date_strs):
+            if i % 5 != 4:  # some completed dates have no pretable file
+                with open(os.path.join(pre, f"{ds}.tsv"), "w") as f:
+                    for k in range(int(rng.integers(3, 40))):
+                        f.write(f"{ds}\trow{k}\t{int(rng.integers(0, 9999))}\n")
+            if i % 7 != 6:  # and some have no r5 file
+                with open(
+                    os.path.join(r5, f"r5-metrics-{ds}.csv"), "w"
+                ) as f:
+                    for k in range(int(rng.integers(1, 12))):
+                        f.write(f"{ds},m{k},{int(rng.integers(0, 999))}\n")
+        # date-free junk the listing parses to '' and GC must skip
+        for junk_dir, junk_name in (
+            (pre, "README.txt"),
+            (pre, "notes-final.tsv"),
+            (r5, "r5-metrics-latest.csv"),
+        ):
+            with open(os.path.join(junk_dir, junk_name), "w") as f:
+                f.write("junk\n")
+        pq.write_table(
+            pa.table(
+                {
+                    "collection": pa.array([r[0] for r in rollup_rows]),
+                    "date": pa.array([r[1] for r in rollup_rows]),
+                    "status": pa.array(
+                        [r[2] for r in rollup_rows], type=pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmpd, "rollup.parquet"),
+        )
+        listing_rows = []
+        for sub in ("pretables", "r5"):
+            full = os.path.join(tmpd, sub)
+            names = sorted(os.listdir(full))
+            parsed = cdates.extract_date(pd.Series(names, dtype=object))
+            for name, dt in zip(names, parsed):
+                listing_rows.append(
+                    (sub, name, dt, os.path.getsize(os.path.join(full, name)))
+                )
+        pq.write_table(
+            pa.table(
+                {
+                    "dir": pa.array([r[0] for r in listing_rows]),
+                    "name": pa.array([r[1] for r in listing_rows]),
+                    "date": pa.array([r[2] for r in listing_rows]),
+                    "size_bytes": pa.array(
+                        [r[3] for r in listing_rows], type=pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmpd, "listing.parquet"),
+        )
+        os.replace(tmpd, d)
+    return d

@@ -40,6 +40,56 @@ def test_clean_completed_archives_and_deletes(tmp_path):
         assert t.getnames() == ["2021-01-01.tsv"]
 
 
+def test_gc_workspace_gate_side_effects(tmp_path):
+    """The k3_gc_manifest gate fixture through the REAL GC paths:
+    completed-date files archived/deleted, junk and non-completed
+    files untouched, and a rerun is a no-op (idempotent)."""
+    import shutil
+
+    from matomo_log_analytics_ray import datagen
+
+    ws = datagen.gc_workspace_dir()
+    pre = tmp_path / "pretables"
+    r5 = tmp_path / "r5"
+    shutil.copytree(os.path.join(ws, "pretables"), pre)
+    shutil.copytree(os.path.join(ws, "r5"), r5)
+    rollup = pd.read_parquet(os.path.join(ws, "rollup.parquet"))
+    listing = pd.read_parquet(os.path.join(ws, "listing.parquet"))
+    completed = set(
+        rollup[
+            (rollup["collection"] == "scl")
+            & (rollup["status"] == status.DATE_COMPLETED)
+        ]["date"]
+    )
+    res = lifecycle.clean_completed(
+        rollup, "scl", str(pre), str(tmp_path / "arc"), str(r5)
+    )
+    # every archived/deleted file was a completed-date file
+    for p in res["archived"]:
+        name = os.path.basename(p)[: -len(".tar.gz")]
+        assert name[:10] in completed and name.endswith(".tsv")
+        assert not (pre / name).exists()
+        assert os.path.exists(p)
+    for p in res["removed"]:
+        assert os.path.basename(p)[11:21] in completed
+        assert not os.path.exists(p)
+    # junk (date-free) files and non-completed dates untouched
+    assert (pre / "README.txt").exists()
+    assert (pre / "notes-final.tsv").exists()
+    assert (r5 / "r5-metrics-latest.csv").exists()
+    survivors = listing[
+        (listing["dir"] == "pretables")
+        & (~listing["date"].isin(completed))
+    ]["name"]
+    for name in survivors:
+        assert (pre / name).exists(), name
+    # rerun: nothing left to do
+    res2 = lifecycle.clean_completed(
+        rollup, "scl", str(pre), str(tmp_path / "arc"), str(r5)
+    )
+    assert res2 == {"archived": [], "removed": []}
+
+
 def test_recovery_write_and_replay(tmp_path):
     rec = str(tmp_path / "recovery")
     code = recovery.write_recovery_row(rec, "p-0001", 1000, 900, status.FILE_PARTIAL)
