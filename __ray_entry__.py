@@ -2911,10 +2911,17 @@ def _q_paragraph_dedup_docs(sf_dir: str):
     (ops/paradedup.paragraph_dedup)."""
     import ray.data
 
+    from matomo_log_analytics_ray import datagen
     from matomo_log_analytics_ray.ops import paradedup
 
+    # union the hostile fixture (NULL/empty/whitespace text, shared and
+    # repeated paragraphs) so the grade hits the empty-doc convention
     docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).union(
+        _read_parquet(
+            datagen.hostile_docs_path(), columns=["doc_id", "text"]
+        )
     )
     return paradedup.paragraph_dedup(docs, para_words=10)
 
@@ -3334,10 +3341,18 @@ def _q_fuzzy_pairs(sf_dir: str):
     verify at distance <= 5 (ops/fuzzyjoin.fuzzy_pairs)."""
     import ray.data
 
+    from matomo_log_analytics_ray import datagen
     from matomo_log_analytics_ray.ops import fuzzyjoin
 
+    # union the hostile fixture (NULL/empty/whitespace, sub-prefix-
+    # length docs) so the grade hits the prefix-padding/NULL
+    # conventions, not just well-formed 20-60-word docs
     docs = _read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).union(
+        _read_parquet(
+            datagen.hostile_docs_path(), columns=["doc_id", "text"]
+        )
     )
     return fuzzyjoin.fuzzy_pairs(docs, max_dist=5, prefix_words=2)
 
@@ -5551,11 +5566,16 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
         ),
         "fuzzy_pairs": (
             # NULL convention shared with ops/fuzzyjoin: coalesce(text,'')
-            # on both the blocking key and the verify predicate.
-            "WITH k AS (SELECT doc_id, coalesce(text, '') AS text,"
+            # on both the blocking key and the verify predicate. The
+            # hostile fixture union makes the grade hit those
+            # conventions (NULL/empty/whitespace/sub-prefix docs).
+            "WITH docs_u AS (SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id, text FROM"
+            f" read_parquet('{datagen.hostile_docs_path()}')),"
+            " k AS (SELECT doc_id, coalesce(text, '') AS text,"
             " split_part(coalesce(text, ''), ' ', 1) || ' ' ||"
             " split_part(coalesce(text, ''), ' ', 2)"
-            " AS pfx FROM documents)"
+            " AS pfx FROM docs_u)"
             " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
             " CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist"
             " FROM k a JOIN k b ON a.pfx = b.pfx AND a.doc_id < b.doc_id"
@@ -5675,8 +5695,11 @@ FROM read_parquet('{lpath}') WHERE collection = 'scl'"""
             " SELECT day, event_type, n FROM r WHERE rn <= 3"
         ),
         "paragraph_dedup_docs": (
-            "WITH w AS (SELECT doc_id,"
-            " string_split(coalesce(text, ''), ' ') ws FROM documents),"
+            "WITH docs_u AS (SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id, text FROM"
+            f" read_parquet('{datagen.hostile_docs_path()}')),"
+            " w AS (SELECT doc_id,"
+            " string_split(coalesce(text, ''), ' ') ws FROM docs_u),"
             " p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) idx,"
             "   array_to_string(ws[(i-1)*10+1 : i*10], ' ') para"
             "   FROM w, LATERAL (SELECT unnest(generate_series(1,"

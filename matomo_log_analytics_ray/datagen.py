@@ -744,6 +744,52 @@ def recovery_journal_dir(seed: int = 42, n_partitions: int = 60) -> str:
     return d
 
 
+def hostile_docs_path() -> str:
+    """Hostile documents fixture (VERDICT r4 item 5): empty-string,
+    whitespace-only and NULL ``text`` rows, sub-prefix-length docs,
+    double-space tokenization traps, and shared/repeated 10-word
+    paragraphs — the degenerate inputs the paradedup empty-doc and
+    fuzzyjoin prefix-padding/NULL conventions (commit 8edda56) exist
+    for. Unioned into the paragraph_dedup_docs and fuzzy_pairs gates so
+    the driver grade exercises those conventions, not just the 20-60
+    word sf docs. doc_ids start at 9_000_000 — far above any sf range."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, "hostile_docs_v1.parquet")
+    if not os.path.exists(path):
+        para = " ".join(f"w{i}" for i in range(10))
+        rows = [
+            None,  # NULL text
+            "",  # empty
+            "   ",  # whitespace-only
+            "\n\n",  # newline-only
+            "hello",  # sub-prefix-length (1 word < prefix_words=2)
+            "hello",  # exact duplicate of the above
+            "hello world",
+            "a b",
+            "a b c",
+            "a  b",  # double space: '' token under split-on-space
+            para,  # exactly one 10-word paragraph
+            para + " tail words here",  # shares that paragraph
+            para + " " + para,  # same paragraph twice IN one doc
+            "x",  # single char
+        ]
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [9_000_000 + i for i in range(len(rows))],
+                        type=pa.int64(),
+                    ),
+                    "text": pa.array(rows, type=pa.string()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def gc_workspace_dir(seed: int = 42) -> str:
     """Deterministic GC-lifecycle fixture (K3/K4/S4, reference
     proc/clean_data.py:21-58): a workspace with

@@ -49,6 +49,7 @@ NEW_GATES = [
     "decayed_user_activity",
     "quantile_sketch_value",
     "grouped_quantile_sketch",
+    "k3_gc_manifest",
 ]
 
 
