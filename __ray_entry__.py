@@ -349,7 +349,9 @@ def _q_q1_lineitem_agg(sf_dir: str):
         batch["sum_price"] = batch["sum_price"].round(2)
         return batch
 
-    return (
+    from matomo_log_analytics_ray.ops import drop_empty_blocks
+
+    agg = (
         _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
@@ -361,7 +363,13 @@ def _q_q1_lineitem_agg(sf_dir: str):
             Sum("sum_price", alias_name="sum_price"),
             Sum("n", alias_name="n"),
         )
-        .map_batches(round2, batch_format="pandas")
+    )
+    # the Aggregate exchange emits one partition per reduce task and
+    # only ~6 groups exist: most partitions are EMPTY, and a fused map
+    # over an empty block is skipped and emits a schema-less block —
+    # rebuild the (6-row) block list before the rounding pass
+    return drop_empty_blocks(agg.materialize()).map_batches(
+        round2, batch_format="pandas"
     )
 
 

@@ -80,6 +80,75 @@ def install_schema_metadata_shim() -> None:
 
 install_schema_metadata_shim()
 
+_EMPTY_BUNDLE_SHIM_INSTALLED = False
+
+
+def install_empty_bundle_schema_shim() -> None:
+    """Driver-side shim: a ZERO-ROW RefBundle with an empty/None schema
+    silently adopts the operator's established schema instead of
+    triggering "produced a RefBundle with a different schema".
+
+    Why: Ray's map operators never invoke the UDF on a zero-row input
+    block — they emit a schema-less empty block — and sort/aggregate
+    exchanges emit ``pa.table({})`` for empty range partitions (e.g.
+    when Zipf-skewed boundary samples repeat). Ray's own divergence
+    handler already re-tags such bundles with the old schema; it just
+    warns first and marks the stream diverged, which disables schema
+    dedup for the rest of the plan. Adopting the old schema for a
+    bundle that provably carries NO rows is strictly more correct —
+    non-empty or genuinely conflicting schemas still take Ray's
+    original path. Runs only in the driver (the streaming executor
+    lives there), so module-level installation fully covers it.
+    """
+    global _EMPTY_BUNDLE_SHIM_INSTALLED
+    if _EMPTY_BUNDLE_SHIM_INSTALLED:
+        return
+    try:
+        from ray.data._internal.execution import (
+            streaming_executor_state as _ses,
+        )
+        from ray.data._internal.execution.interfaces import RefBundle
+        from ray.data.block import _is_empty_schema
+
+        if getattr(_ses.dedupe_schemas_with_validation, "_mla_shim", False):
+            _EMPTY_BUNDLE_SHIM_INSTALLED = True
+            return
+        orig = _ses.dedupe_schemas_with_validation
+
+        def dedupe(old_schema, bundle, warn=True, enforce_schemas=False):
+            if (
+                not _is_empty_schema(old_schema)
+                and _is_empty_schema(bundle.schema)
+                and bundle.num_rows() == 0
+            ):
+                return (
+                    RefBundle(
+                        bundle.blocks,
+                        schema=old_schema,
+                        owns_blocks=bundle.owns_blocks,
+                        output_split_idx=bundle.output_split_idx,
+                        _cached_object_meta=bundle._cached_object_meta,
+                        _cached_preferred_locations=(
+                            bundle._cached_preferred_locations
+                        ),
+                    ),
+                    False,
+                )
+            return orig(
+                old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas
+            )
+
+        dedupe._mla_shim = True
+        _ses.dedupe_schemas_with_validation = dedupe
+        _EMPTY_BUNDLE_SHIM_INSTALLED = True
+    except Exception:
+        # Ray layout changed: fall back to Ray's own divergence path
+        # (warning + old-schema re-tag) — cosmetic, not correctness.
+        pass
+
+
+install_empty_bundle_schema_shim()
+
 
 def _clean_schema(path) -> "pa.Schema | None":
     """Metadata-free schema for ``path`` (first path if a list), or

@@ -201,7 +201,7 @@ def _resolve_tagged(
         n = len(b)
         empty = {
             left_id: pd.Series([], dtype="int64"),
-            "asof_ts": pd.Series([], dtype=b[ts_col].dtype if n else "datetime64[us]"),
+            "asof_ts": pd.Series([], dtype="datetime64[us]"),
             right_id: pd.Series([], dtype="int64"),
             **{c: pd.Series([], dtype=val_dtypes[c]) for c in right_vals},
             "kind": pd.Series([], dtype=object),
@@ -265,9 +265,22 @@ def _resolve_tagged(
                     }
                 )
             )
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # the 1-row carry frame is built from python lists, which pandas
+        # infers as datetime64[ns]; blocks without a carry stay [us]
+        # (Arrow unit) — normalize so every block carries ONE schema
+        out["asof_ts"] = out["asof_ts"].astype("datetime64[us]")
+        return out
 
-    tagged2 = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    from . import drop_empty_blocks
+
+    # sort can hand block_fn empty range partitions; their typed-empty
+    # outputs would make the done/edges filter maps emit schema-less
+    # blocks (skipped-UDF family) — rebuild the block list (free: the
+    # dataset is already materialized, refs are reused)
+    tagged2 = drop_empty_blocks(
+        sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    )
     done = tagged2.map_batches(
         lambda b: b[b["kind"] == "done"][out_cols], batch_format="pandas"
     )
@@ -292,7 +305,7 @@ def _resolve_tagged(
         is_left = m["_side"].to_numpy() == _SIDE_LEFT
         sel = is_left & matched
         src = ffill[sel]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 left_id: m[left_id].to_numpy()[sel],
                 "asof_ts": m[ts_col].to_numpy()[src],
@@ -300,6 +313,8 @@ def _resolve_tagged(
                 **{c: m[c].to_numpy()[src] for c in right_vals},
             }
         )
+        out["asof_ts"] = out["asof_ts"].astype("datetime64[us]")
+        return out
 
     edges = (
         tagged2.map_batches(

@@ -345,7 +345,15 @@ def sorted_group_counts(
         edges["kind"] = "edge"
         return pd.concat([rows_out, edges], ignore_index=True)
 
-    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    from . import drop_empty_blocks
+
+    # sort can emit empty range partitions; block_fn's typed-empty
+    # outputs would make the done/edge filter maps emit schema-less
+    # blocks (Ray skips the UDF on empty blocks) — rebuild the block
+    # list, free on an already-materialized dataset
+    tagged = drop_empty_blocks(
+        sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    )
     done = tagged.map_batches(
         lambda b: b[b["kind"] == "done"][[*key_cols, alias]], batch_format="pandas"
     )
@@ -748,26 +756,89 @@ def ngram_jaccard_verify_ds(
     k: int = 3,
     threshold: float = 0.8,
     num_partitions: int = 8,
+    broadcast_pairs_limit: int = 50_000,
 ) -> "ray.data.Dataset":
     """Distributed exact k-gram Jaccard verification of candidate
     pairs — the precise re-check after minhash LSH, run as a pipeline
-    stage instead of on the driver: two hash-partitioned joins attach
-    each side's text (only candidate pairs carry text through the
-    shuffle), then a batch kernel computes exact shingle-set Jaccard
-    and keeps pairs >= threshold. Per-pair cost is O(|shingles|);
-    candidate volume is bounded by the LSH band structure."""
+    stage instead of on the driver. Adaptive text attach (the
+    pipelines/prepare discipline): at or under
+    ``broadcast_pairs_limit`` candidate pairs, the needed texts (at
+    most 2 x n_pairs docs, one membership-filter scan — no shuffle)
+    are broadcast with ``ray.put`` and attached by searchsorted
+    lookup inside the verify map, so the docs table never shuffles
+    to verify a handful of candidates; past the limit, two
+    hash-partitioned joins attach each side's text (only candidate
+    pairs carry text through the shuffle). The kernel computes exact
+    shingle-set Jaccard and keeps pairs >= threshold. Per-pair cost
+    is O(|shingles|); candidate volume is bounded by the LSH band
+    structure."""
 
     import pyarrow as pa
 
+    import ray as _ray
+
     text_t = arrow_col_type_or(docs, text_col, pa.string())
-    ta = _attach_side(docs, id_col, text_col, "id_a", "text_a", payload_type=text_t)
-    tb = _attach_side(docs, id_col, text_col, "id_b", "text_b", payload_type=text_t)
     id_t = arrow_col_type(docs, id_col)
     pairs = normalize_pair_ids(pairs, id_t, num_partitions)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return typed_empty_pairs(id_t, {"jaccard": pa.float64()})
-    j = pairs.join(ta, "inner", num_partitions=num_partitions, on=("id_a",))
-    j = j.join(tb, "inner", num_partitions=num_partitions, on=("id_b",))
+    if n_pairs <= broadcast_pairs_limit:
+        pdf = pairs.to_pandas()
+        need = np.unique(
+            np.concatenate([pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()])
+        )
+        need_ref = _ray.put(need)
+
+        def pick(t: pa.Table) -> pa.Table:
+            a = _ray.get(need_ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if len(a) == 0 or len(ids) == 0:
+                return t.slice(0, 0)
+            pos = np.minimum(np.searchsorted(a, ids), len(a) - 1)
+            return t.filter(pa.array(a[pos] == ids))
+
+        sm = (
+            docs.select_columns([id_col, text_col])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(id_col)
+        )
+        ids_ref = _ray.put(sm[id_col].to_numpy())
+        txt_ref = _ray.put(sm[text_col].to_numpy(dtype=object))
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            ids = _ray.get(ids_ref)
+            txts = _ray.get(txt_ref)
+            ia = np.minimum(
+                np.searchsorted(ids, b["id_a"].to_numpy()), len(ids) - 1
+            )
+            ib = np.minimum(
+                np.searchsorted(ids, b["id_b"].to_numpy()), len(ids) - 1
+            )
+            # inner-join semantics: drop pairs whose doc is absent
+            ok = (ids[ia] == b["id_a"].to_numpy()) & (
+                ids[ib] == b["id_b"].to_numpy()
+            )
+            return pd.DataFrame(
+                {
+                    "id_a": b["id_a"].to_numpy()[ok],
+                    "id_b": b["id_b"].to_numpy()[ok],
+                    "text_a": txts[ia[ok]],
+                    "text_b": txts[ib[ok]],
+                }
+            )
+
+        j = pairs.map_batches(attach, batch_format="pandas")
+    else:
+        ta = _attach_side(
+            docs, id_col, text_col, "id_a", "text_a", payload_type=text_t
+        )
+        tb = _attach_side(
+            docs, id_col, text_col, "id_b", "text_b", payload_type=text_t
+        )
+        j = pairs.join(ta, "inner", num_partitions=num_partitions, on=("id_a",))
+        j = j.join(tb, "inner", num_partitions=num_partitions, on=("id_b",))
 
     def kernel(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:

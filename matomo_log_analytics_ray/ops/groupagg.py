@@ -105,7 +105,13 @@ def sorted_group_sum(
         edges["kind"] = "edge"
         return pd.concat([rows_out, edges], ignore_index=True)
 
-    tagged = sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    from . import drop_empty_blocks
+
+    # see ops/dedup.sorted_group_counts: clean the block list so the
+    # done/edge filter maps never see an empty block
+    tagged = drop_empty_blocks(
+        sorted_ds.map_batches(block_fn, batch_format="pandas").materialize()
+    )
     done = tagged.map_batches(
         lambda b: b[b["kind"] == "done"][[*key_cols, *aliases]],
         batch_format="pandas",

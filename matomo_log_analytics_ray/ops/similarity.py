@@ -33,25 +33,6 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceScorer:
-    """map_batches actor: broadcast query matrix fetched once per actor."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.query_ids = np.asarray(q["ids"])
-        self.qmat = _normalize(np.stack(q["vectors"]))  # (nq, d)
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(np.stack(batch[self.vec_col].to_numpy()))  # (n, d)
-        ids = batch[self.id_col].to_numpy()
-        scores = vecs @ self.qmat.T  # (n, nq)
-        q, i, s = _topk_partial_rows(scores, ids, self.query_ids, self.k)
-        return pd.DataFrame({"query_id": q, self.id_col: i, "score": s})
-
-
 def _topk_partial_rows(
     scores: np.ndarray, ids: np.ndarray, query_ids: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -97,20 +78,35 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int | tuple = 2,
+    concurrency: int | tuple | None = None,
 ) -> pd.DataFrame:
-    """Exact cosine top-k; returns (query_id, vec_id, score, rank)."""
-    ref = ray.put({"ids": np.asarray(query_ids), "vectors": np.asarray(query_vectors)})
+    """Exact cosine top-k; returns (query_id, vec_id, score, rank).
+
+    Stateless TASK map, not an actor pool: the scorer's only state is
+    the broadcast query matrix, which rides the object store —
+    ``ray.get`` of the same ref inside a warm worker is a zero-copy
+    shared-memory read, so tasks pay none of the per-actor process
+    spin-up (~0.5 s x pool size) a query-latency path can't amortize.
+    ``concurrency`` caps parallel tasks when given (default: let the
+    scheduler use the pool)."""
+    ref = ray.put(
+        {
+            "ids": np.asarray(query_ids),
+            "qmat": _normalize(np.stack(np.asarray(query_vectors))),
+        }
+    )
+
+    def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(ref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()))  # (n, d)
+        ids = batch[id_col].to_numpy()
+        scores = vecs @ q["qmat"].T  # (n, nq)
+        qo, io, so = _topk_partial_rows(scores, ids, q["ids"], k)
+        return pd.DataFrame({"query_id": qo, id_col: io, "score": so})
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     partials = corpus.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "k": k,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
-        batch_format="pandas",
-        concurrency=concurrency,
+        score_topk, batch_format="pandas", **kwargs
     ).to_pandas()  # (n_batches x k x nq) rows — small
     return _merge_topk_partials(partials, k, id_col)
 
