@@ -457,8 +457,45 @@ def minhash_lsh_candidates(
         batch_format="pandas",
     )
     rows = sigs.map_batches(_band_rows(id_col), batch_format="pandas")
-    pairs = bucket_pairs(rows, ["band", "band_hash"], id_col, max_bucket=max_bucket)
-    # a pair can surface from several bands -> sorted run-count distinct
+    pairs = bucket_pairs(
+        rows, ["band", "band_hash"], id_col, max_bucket=max_bucket
+    ).materialize()
+    # a pair can surface from several bands -> distinct with a band
+    # count. Adaptive (the prepare/verify discipline): a small
+    # candidate set collapses in ONE task — the sorted-run machinery's
+    # range-sort fixed cost (~1 s on 32 CPUs) dwarfs a single lexsort
+    # over a few thousand pairs; past the limit the sort path keeps
+    # every reduce task bounded.
+    if pairs.count() <= 5_000_000:
+
+        def distinct_counts(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        "id_a": b["id_a"],
+                        "id_b": b["id_b"],
+                        "n_bands": pd.Series([], dtype="int64"),
+                    }
+                )
+            a = b["id_a"].to_numpy()
+            c = b["id_b"].to_numpy()
+            order = np.lexsort((c, a))
+            a, c = a[order], c[order]
+            first = np.ones(len(a), dtype=bool)
+            first[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, len(a)))
+            return pd.DataFrame(
+                {
+                    "id_a": a[starts],
+                    "id_b": c[starts],
+                    "n_bands": counts.astype("int64"),
+                }
+            )
+
+        return pairs.repartition(1).map_batches(
+            distinct_counts, batch_format="pandas"
+        )
     return sorted_group_counts(pairs, ["id_a", "id_b"], alias="n_bands")
 
 
