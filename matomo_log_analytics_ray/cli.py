@@ -150,6 +150,19 @@ def cmd_load(args) -> int:
         f"loaded {res['counters']['completed']}/{res['counters']['planned']} partitions, "
         f"{res['counters']['rows']} rows; rollup rows: {len(res['rollup'])}"
     )
+    if args.compact:
+        # opt-in post-load compaction: the shuffle-free routed write
+        # trades file count for zero data movement (files = partitions
+        # x sinks touched, stages/route.py) — at 100x partition counts
+        # downstream readers want the coalesce pass one flag away
+        from .control import lifecycle as gc
+
+        stats = gc.compact_partitions(
+            args.out, target_rows_per_file=args.compact_target_rows
+        )
+        before = sum(b for b, _ in stats.values())
+        after = sum(a for _, a in stats.values())
+        print(f"compacted: {before} -> {after} files across {len(stats)} partitions")
     return 0
 
 
@@ -221,6 +234,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--collection", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--limit", type=int, default=1000)
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="coalesce each sink partition's small files after the load",
+    )
+    sp.add_argument("--compact_target_rows", type=int, default=1_000_000)
     sp.set_defaults(fn=cmd_load)
 
     sp = sub.add_parser("clean", help="clean_data analog (archive + delete)")

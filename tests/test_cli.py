@@ -41,6 +41,40 @@ def test_init_discover_load_roundtrip(tmp_path):
     assert set(roll.columns) >= {"collection", "date", "status"}
 
 
+def test_load_with_compact_flag(tmp_path):
+    """`load --compact`: the routed write's many small per-partition
+    files coalesce in place, with no row lost or duplicated."""
+    import glob
+
+    listing, files = _fixture(tmp_path)
+    out = str(tmp_path / "out")
+    assert (
+        cli.main(
+            [
+                "load", "--files", files, "--collection", "scl",
+                "--out", out, "--compact", "--compact_target_rows", "100000",
+            ]
+        )
+        == 0
+    )
+    after = glob.glob(f"{out}/sink=*/*.parquet")
+    assert after
+    # one file per sink dir after compaction at this tiny size
+    sinks = {os.path.dirname(f) for f in after}
+    assert len(after) == len(sinks)
+    total = sum(pd.read_parquet(f).shape[0] for f in after)
+    # every parsed row of the 500-turn shard lands in exactly one sink
+    uncompacted = str(tmp_path / "out2")
+    assert cli.main(
+        ["load", "--files", files, "--collection", "scl", "--out", uncompacted]
+    ) == 0
+    total2 = sum(
+        pd.read_parquet(f).shape[0]
+        for f in glob.glob(f"{uncompacted}/sink=*/*.parquet")
+    )
+    assert total == total2
+
+
 def test_prep_and_compact_commands(tmp_path):
     import numpy as np
 

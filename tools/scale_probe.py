@@ -613,6 +613,94 @@ def main_round3c() -> None:
 
 
 ROUND4 = "--round4" in sys.argv
+ROUND5 = "--round5" in sys.argv
+
+
+def main_round5() -> None:
+    """Round-5 probes: (a) routed-write file-count before/after the
+    opt-in compaction pass (VERDICT item 8 — the files = tasks x sinks
+    trade made one flag away); (b) the broadcast verify path at a
+    candidate volume near its limit (ngram_jaccard_verify_ds adaptive
+    switch, VERDICT item 2's lever)."""
+    import glob
+    import shutil
+
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import lifecycle as gc
+    from matomo_log_analytics_ray.pipelines import flagship
+
+    results = {}
+    out = "/tmp/mla_ray/probe_r5_routed"
+    shutil.rmtree(out, ignore_errors=True)
+    tpath = datagen.transcripts_shards_dir(4_000_000, n_shards=64)
+    t0 = time.monotonic()
+    flagship.run_flagship(tpath, out_dir=out)
+    t_write = time.monotonic() - t0
+    before = len(glob.glob(f"{out}/sink=*/*.parquet"))
+    t0 = time.monotonic()
+    stats = gc.compact_partitions(out, target_rows_per_file=1_000_000)
+    t_compact = time.monotonic() - t0
+    after = len(glob.glob(f"{out}/sink=*/*.parquet"))
+    results["routed_write_compaction_4m"] = {
+        "write_sec": round(t_write, 2),
+        "compact_sec": round(t_compact, 2),
+        "files_before": before,
+        "files_after": after,
+        "partitions": len(stats),
+    }
+    print(f"routed_write_compaction_4m: {results['routed_write_compaction_4m']}",
+          flush=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+    # (b) broadcast-verify near the adaptive limit: clone-heavy corpus
+    # -> tens of thousands of candidate pairs, still broadcast-attached
+    from matomo_log_analytics_ray.ops import dedup as dd
+
+    rng = np.random.default_rng(7)
+    # ~20k exact-clone groups of 2-3 members, each group's text drawn
+    # independently (groups must NOT share shingles, or every clone
+    # lands in one LSH bucket and the capped all-pairs explodes) ->
+    # ~40k verified pairs, just under the 50k broadcast_pairs_limit
+    # (the adaptive switch stays on the broadcast path at its worst
+    # case)
+    base = [
+        " ".join(f"w{int(x)}" for x in rng.integers(0, 50_000, 40))
+        for _ in range(20_000)
+    ]
+    texts, ids = [], []
+    n_docs = 200_000
+    for i in range(n_docs):
+        ids.append(i)
+        if i % 4 == 0:
+            texts.append(base[(i // 4) % 20_000])
+        else:
+            texts.append(
+                " ".join(f"w{int(x)}" for x in rng.integers(0, 50_000, 40))
+            )
+    docs = ray.data.from_pandas(
+        [pd.DataFrame({"doc_id": ids[i:i + 25_000],
+                       "text": texts[i:i + 25_000]})
+         for i in range(0, n_docs, 25_000)]
+    )
+    t0 = time.monotonic()
+    cand = dd.minhash_lsh_candidates(docs, max_bucket=4096)
+    pairs = dd.ngram_jaccard_verify_ds(cand, docs, threshold=0.8)
+    n = pairs.count()
+    dt = time.monotonic() - t0
+    results["broadcast_verify_200k_docs"] = {
+        "sec": round(dt, 2), "verified_pairs": int(n),
+        "docs_per_sec": round(n_docs / dt)}
+    print(f"broadcast_verify_200k_docs: {results['broadcast_verify_200k_docs']}",
+          flush=True)
+
+    print(json.dumps({"num_cpus": 32, "results": results}))
+    ray.shutdown()
 
 
 def main_round4() -> None:
@@ -835,5 +923,7 @@ if __name__ == "__main__":
         main_round3c()
     elif ROUND4:
         main_round4()
+    elif ROUND5:
+        main_round5()
     else:
         main()
