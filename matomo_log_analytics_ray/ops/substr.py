@@ -203,9 +203,35 @@ def repeated_substring_docs(
             hits, [id_col], "_hit", alias="n_shared_windows"
         ).materialize()
     )
-    # docs with no windows at all (shorter than w) still need a row;
-    # the repartition rebuilds the sums block list (sort/union stages
-    # can emit schema-less empties that poison the join aggregator)
+    # zero-fill: every doc needs a row, including docs shorter than w
+    # and docs with no shared windows. Adaptive: a small per-hit-doc
+    # sums table (2 ints per hit doc) broadcasts and fills in ONE map
+    # over the docs — no repartition, no join, no extra materialize of
+    # an all-docs table; past the limit, the left_outer join path.
+    n_hit_docs = sums.count()
+    if n_hit_docs <= broadcast_limit:
+        sdf = sums.to_pandas().sort_values(id_col)
+        sums_ref = ray.put(
+            (
+                sdf[id_col].to_numpy(),
+                sdf["n_shared_windows"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def fill(b: pd.DataFrame) -> pd.DataFrame:
+            sid, sn = ray.get(sums_ref)
+            ids = b[id_col].to_numpy()
+            out = np.zeros(len(b), dtype=np.int64)
+            if len(sid) and len(ids):
+                pos = np.minimum(np.searchsorted(sid, ids), len(sid) - 1)
+                hit = sid[pos] == ids
+                out[hit] = sn[pos[hit]]
+            return pd.DataFrame({id_col: ids, "n_shared_windows": out})
+
+        return ds.map_batches(
+            lambda b: b[[id_col]], batch_format="pandas"
+        ).map_batches(fill, batch_format="pandas")
+
     from . import default_join_partitions
 
     np_join = default_join_partitions()
