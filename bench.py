@@ -120,7 +120,7 @@ def main() -> None:
         if shape == "prepare":
             from matomo_log_analytics_ray import datagen as _dg
 
-            _dg.documents_path(int(os.environ.get("MLA_SCALING_DOCS", "400000")))
+            _dg.documents_path(int(os.environ.get("MLA_SCALING_DOCS", "3200000")))
         else:
             path = _bench_transcripts_path(bench_turns)
         import ray
@@ -234,7 +234,7 @@ def main() -> None:
             from matomo_log_analytics_ray import datagen as _dg
             from matomo_log_analytics_ray.pipelines import prepare as _prep
 
-            n_docs = int(os.environ.get("MLA_SCALING_DOCS", "400000"))
+            n_docs = int(os.environ.get("MLA_SCALING_DOCS", "3200000"))
             dpath = _dg.documents_path(n_docs)
             _warm(dpath)
             scratch = "/tmp/mla_bench/scaling_prep"
@@ -243,7 +243,14 @@ def main() -> None:
                 shutil.rmtree(scratch, ignore_errors=True)
                 t0 = time.monotonic()
                 _prep.prepare_training_data(
-                    _read_parquet(dpath, columns=["doc_id", "text"]),
+                    # a single parquet file defaults to ~4 x 128MB read
+                    # blocks, capping every downstream stage's
+                    # parallelism — split to cluster width up front
+                    _read_parquet(
+                        dpath,
+                        columns=["doc_id", "text"],
+                        override_num_blocks=4 * num_cpus,
+                    ),
                     out_dir=scratch,
                 )
                 return time.monotonic() - t0

@@ -86,7 +86,16 @@ def exact_dedup_keep_ids(
     id), keep the first id of each hash run. Only (hash, id) pairs
     shuffle; min-per-group via sorted runs instead of Ray's aggregate
     (per-group Python cost dominates at ~distinct-text cardinality)."""
+    from . import default_join_partitions
+
     rows = docs.map_batches(_content_hash_batch(id_col, text_col), batch_format="pandas")
+    # the (hash, id) projection inherits the READ's block count, and a
+    # single large parquet file reads as ~4 x 128MB blocks — which
+    # caps the sort at 4 partitions no matter the cluster size
+    # (measured 18.6 s -> 5.2 s at 8 CPUs on 1.6M docs). Repartition
+    # the 16-byte-per-row projection up to the cluster width first;
+    # the pass is trivial next to the sort it unblocks.
+    rows = rows.repartition(max(2, 2 * default_join_partitions()))
     return sorted_group_first(rows, ["content_hash"], id_col).select_columns([id_col])
 
 
