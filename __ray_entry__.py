@@ -1737,17 +1737,79 @@ def _q_q3_shipping_revenue(sf_dir: str):
             ["rev" if c == "rev_sum" else c for c in g.column_names]
         )
 
-    li = (
-        _read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    # Adaptive join strategy (the prepare/keep_canonical discipline):
+    # the orders side after the BUILDING semi-filter and the date cut
+    # is a small fraction of orders (~2% at any SF under the TPC-H
+    # selectivities) but still grows with SF, so broadcast-attach it
+    # when it fits (kills the all-to-all hash shuffle — measured 6.2s
+    # -> ~2s at sf0.1, where the 30-partition shuffle of 5 MB of
+    # pre-aggregated partials dominated the query), and fall back to
+    # the hash join beyond the limit.
+    orders = orders.materialize()
+    n_orders = orders.count()
+    if n_orders <= 1_000_000:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        oref = ray.put(
+            (
+                odf["o_orderkey"].to_numpy(dtype=np.int64),
+                odf["o_orderdate"].to_numpy(),
+                odf["o_orderpriority"].to_numpy(),
+            )
         )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .repartition(8)  # drop degenerate empties pre-join
-    )
+
+        def semi(b: pd.DataFrame) -> pd.DataFrame:
+            okeys, _, _ = ray.get(oref)
+            v = b["l_orderkey"].to_numpy(dtype=np.int64)
+            if len(okeys) == 0 or len(v) == 0:
+                return b.iloc[:0]
+            pos = np.minimum(np.searchsorted(okeys, v), len(okeys) - 1)
+            return b[okeys[pos] == v]
+
+        from matomo_log_analytics_ray.ops import drop_empty_blocks
+
+        filtered = drop_empty_blocks(
+            li.map_batches(semi, batch_format="pandas").materialize()
+        )
+        if filtered.count() <= 5_000_000:
+            # tiny pre-reduced table: one-task combine beats the range
+            # sort's ~1s fixed cost (the qsketch/LSH adaptive pattern)
+            sums = filtered.repartition(1).map_batches(
+                lambda b: b.groupby("l_orderkey", as_index=False)["rev"]
+                .sum()
+                .rename(columns={"rev": "revenue_e4"}),
+                batch_format="pandas",
+            )
+        else:
+            sums = groupagg.sorted_group_sum(
+                filtered, ["l_orderkey"], "rev", alias="revenue_e4"
+            )
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            okeys, odates, oprios = ray.get(oref)
+            v = b["l_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(okeys, v)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": v,
+                    "o_orderdate": odates[pos],
+                    "o_orderpriority": oprios[pos],
+                    "revenue_e4": b["revenue_e4"].to_numpy().astype("int64"),
+                }
+            )
+
+        # sorted_group_sum's union tail can carry typed-empty blocks;
+        # clean before the attach map (the NOTES empty-block landmine)
+        return drop_empty_blocks(sums.materialize()).map_batches(
+            attach, batch_format="pandas"
+        )
 
     num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
-    joined = li.join(
+    joined = li.repartition(8).join(
         orders,
         "inner",
         num_partitions=num_partitions,
