@@ -351,18 +351,36 @@ def _q_q1_lineitem_agg(sf_dir: str):
 
     from matomo_log_analytics_ray.ops import drop_empty_blocks
 
-    agg = (
+    partials = (
         _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
         )
         .map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price", alias_name="sum_price"),
-            Sum("n", alias_name="n"),
+        .materialize()
+    )
+    # After the per-batch pre-agg each block carries <= |groups| (~6)
+    # rows, so the combine input is blocks x 6 rows. When that fits in
+    # one task, a single pandas combine beats the Aggregate exchange's
+    # ~2s fixed cost (the q3/qsketch adaptive pattern); past the limit
+    # (e.g. millions of blocks on a 100-TB read) fall back to the
+    # distributed aggregate.
+    if partials.count() <= 5_000_000:
+        agg = drop_empty_blocks(partials).repartition(1).map_batches(
+            lambda b: b.groupby(
+                ["l_returnflag", "l_linestatus"], as_index=False
+            ).agg(
+                sum_qty=("sum_qty", "sum"),
+                sum_price=("sum_price", "sum"),
+                n=("n", "sum"),
+            ),
+            batch_format="pandas",
         )
+        return agg.map_batches(round2, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n", alias_name="n"),
     )
     # the Aggregate exchange emits one partition per reduce task and
     # only ~6 groups exist: most partitions are EMPTY, and a fused map

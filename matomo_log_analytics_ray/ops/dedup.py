@@ -80,15 +80,35 @@ def first_token_key(text: pd.Series) -> pd.Series:
 
 
 def exact_dedup_keep_ids(
-    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    combine_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """One kept id per distinct text: range-partition on (content hash,
     id), keep the first id of each hash run. Only (hash, id) pairs
     shuffle; min-per-group via sorted runs instead of Ray's aggregate
     (per-group Python cost dominates at ~distinct-text cardinality)."""
-    from . import default_join_partitions
+    from . import default_join_partitions, drop_empty_blocks
 
-    rows = docs.map_batches(_content_hash_batch(id_col, text_col), batch_format="pandas")
+    rows = docs.map_batches(
+        _content_hash_batch(id_col, text_col), batch_format="pandas"
+    ).materialize()
+    # Adaptive combine (the q3/qsketch pattern): the (hash, id)
+    # projection is 16 B/row, so <= 5M rows is <= 80 MB — one lexsort
+    # task beats the range-sort exchange's ~2s fixed cost. The hashing
+    # scan above stays fully distributed either way.
+    if rows.count() <= combine_limit:
+        def combine(b: pd.DataFrame) -> pd.DataFrame:
+            return (
+                b.sort_values(["content_hash", id_col])
+                .groupby("content_hash", as_index=False, sort=False)
+                .first()[[id_col]]
+            )
+
+        return drop_empty_blocks(rows).repartition(1).map_batches(
+            combine, batch_format="pandas"
+        )
     # the (hash, id) projection inherits the READ's block count, and a
     # single large parquet file reads as ~4 x 128MB blocks — which
     # caps the sort at 4 partitions no matter the cluster size

@@ -120,9 +120,38 @@ def repeated_substring_docs(
     pairs = drop_empty_blocks(
         ds.map_batches(pairs_fn, batch_format="pandas").materialize()
     )
-    counts = dedup.sorted_group_counts(
-        pairs.map_batches(lambda b: b[["h"]], batch_format="pandas"), ["h"], alias="n"
-    )
+    # Adaptive distinct-doc counts (the q3/qsketch pattern): the pairs
+    # projection is 16 B/row, so <= broadcast_limit rows sort in ONE
+    # task — skips the range-sort exchange's ~2s fixed cost. The
+    # window-hashing scan above stays fully distributed either way.
+    if pairs.count() <= broadcast_limit:
+
+        def count_one(b: pd.DataFrame) -> pd.DataFrame:
+            h = np.sort(b["h"].to_numpy(dtype=np.uint64))
+            if len(h) == 0:
+                return pd.DataFrame(
+                    {
+                        "h": pd.Series([], dtype="uint64"),
+                        "n": pd.Series([], dtype="int64"),
+                    }
+                )
+            change = np.ones(len(h), dtype=bool)
+            change[1:] = h[1:] != h[:-1]
+            starts = np.flatnonzero(change)
+            runs = np.diff(np.append(starts, len(h)))
+            return pd.DataFrame({"h": h[starts], "n": runs.astype("int64")})
+
+        counts = (
+            pairs.map_batches(lambda b: b[["h"]], batch_format="pandas")
+            .repartition(1)
+            .map_batches(count_one, batch_format="pandas")
+        )
+    else:
+        counts = dedup.sorted_group_counts(
+            pairs.map_batches(lambda b: b[["h"]], batch_format="pandas"),
+            ["h"],
+            alias="n",
+        )
     shared = drop_empty_blocks(
         counts.map_batches(
             lambda b: b[b["n"].astype("int64") >= 2][["h"]],
@@ -194,15 +223,26 @@ def repeated_substring_docs(
             ),
             batch_format="pandas",
         )
-    # sorted_group_sum's union carries typed-empty "done" blocks (a
-    # block whose runs were all edges filters to zero rows); any map
-    # over them is skipped by Ray and emits a schema-less block, so
-    # rebuild the block list first (the sums table is per-hit-doc ints)
-    sums = drop_empty_blocks(
-        sorted_group_sum(
-            hits, [id_col], "_hit", alias="n_shared_windows"
+    # Adaptive per-doc totals: hit rows are typically <1% of pairs, so
+    # a one-task pandas groupby beats the sorted_group_sum exchange's
+    # fixed cost; past the limit, the distributed sorted-run sum.
+    if hits.count() <= broadcast_limit:
+        sums = hits.repartition(1).map_batches(
+            lambda b: b.groupby(id_col, as_index=False)["_hit"]
+            .sum()
+            .rename(columns={"_hit": "n_shared_windows"}),
+            batch_format="pandas",
         ).materialize()
-    )
+    else:
+        # sorted_group_sum's union carries typed-empty "done" blocks (a
+        # block whose runs were all edges filters to zero rows); any map
+        # over them is skipped by Ray and emits a schema-less block, so
+        # rebuild the block list first (the sums table is per-hit-doc ints)
+        sums = drop_empty_blocks(
+            sorted_group_sum(
+                hits, [id_col], "_hit", alias="n_shared_windows"
+            ).materialize()
+        )
     # zero-fill: every doc needs a row, including docs shorter than w
     # and docs with no shared windows. Adaptive: a small per-hit-doc
     # sums table (2 ints per hit doc) broadcasts and fills in ONE map

@@ -251,3 +251,17 @@ def test_incremental_dedup_both_drop_paths():
         .tolist()
     )
     assert kept == [11, 13], kept
+
+
+def test_exact_dedup_distributed_combine_matches_adaptive():
+    # combine_limit=0 forces the range-sort sorted_group_first path;
+    # it must keep exactly the same min-id-per-text set as the
+    # one-task combine.
+    ds = ray.data.from_pandas(_docs()).repartition(3)
+    small = sorted(dedup.exact_dedup_keep_ids(ds).to_pandas()["doc_id"].tolist())
+    dist = sorted(
+        dedup.exact_dedup_keep_ids(ds, combine_limit=0)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert small == dist == [1, 3, 4, 6, 7]

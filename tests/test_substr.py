@@ -47,3 +47,38 @@ def test_no_repeats_all_zero():
         ray.data.from_pandas(df).repartition(3), w=40
     ).to_pandas()
     assert (got["n_shared_windows"] == 0).all()
+
+
+def test_distributed_fallback_paths_match_adaptive():
+    # broadcast_limit=0 forces every adaptive branch (one-task counts,
+    # broadcast hit filter, one-task sums, broadcast zero-fill) onto
+    # its distributed twin (range-sort counts, semi-join, sorted-run
+    # sum, left_outer fill); results must be identical.
+    shared = "the quick brown fox jumps over the lazy dog!"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "prefix padding " + shared + " suffix tail here",
+                "Z" * 30 + shared,
+                "unique text with no long verbatim repeats of that "
+                "window size anywhere within it at all, none",
+                "tiny",
+                shared,
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    small = (
+        substr.repeated_substring_docs(ds, w=40)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        substr.repeated_substring_docs(ds, w=40, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist)
