@@ -2354,6 +2354,59 @@ def _q_join_orders_customer(sf_dir: str):
     )
 
 
+def _q_skew_join_segment_value(sf_dir: str):
+    """Skew-aware inner join (ops/skewjoin.skew_join: exact
+    Misra-Gries heavy hitters -> broadcast hot-key set -> salted
+    left / replicated right -> one hash join): events (the large,
+    possibly skewed side; phi=0.005 makes most sf0.01 users heavy
+    hitters, so the salted path executes at the driver grade, not
+    just the plain-join fallback) joined to customer, then an exact
+    fixed-point value rollup per market segment. Result is identical
+    to a plain hash join; the salt bounds any single key's share of
+    a reduce partition at 1/k_salts of its rows."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from matomo_log_analytics_ray.ops.skewjoin import skew_join
+
+    events = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    j = skew_join(
+        events, cust, on="user_id", right_on="c_custkey",
+        k_salts=4, phi=0.005,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # value is 2-decimal data: round(x*100) cents sum exactly
+        b = b.assign(
+            cents=np.round(b["value"].to_numpy() * 100.0).astype("int64")
+        )
+        g = b.groupby("c_mktsegment", as_index=False).agg(
+            n_events=("cents", "size"), cents=("cents", "sum")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b["sum_value"] = (b["cents"] / 100.0).round(2)
+        return b[["c_mktsegment", "n_events", "sum_value"]]
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+        )
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 def _q_sessionize_events(sf_dir: str):
     """Streaming-shaped sessionization: per-user event stream split at
     >30-minute gaps; one row per session. Sort-by-(user, ts) + per-block
@@ -4746,6 +4799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_activity": _q_decayed_user_activity,
         "quantile_sketch_value": _q_quantile_sketch_value,
         "grouped_quantile_sketch": _q_grouped_quantile_sketch,
+        "skew_join_segment_value": _q_skew_join_segment_value,
     }
     ordered = {name: full[name] for name in window}
     ordered.update((k, v) for k, v in full.items() if k not in ordered)
@@ -5410,6 +5464,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
             "ROUND(SUM(o_totalprice), 2) AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "skew_join_segment_value": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) "
+            "AS sum_value "
+            "FROM events JOIN customer ON user_id = c_custkey "
             "GROUP BY c_mktsegment"
         ),
         "a2_date_status": oracle.scl_date_status_sql(lpath),

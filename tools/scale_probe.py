@@ -703,6 +703,54 @@ def main_round5() -> None:
     ray.shutdown()
 
 
+SKEWJOIN = "--skewjoin" in sys.argv
+
+
+def main_skewjoin() -> None:
+    """Skew-join probe (run with --skewjoin --skew): 20M-row events
+    with a 15%-hot user joined to a 100k-row dim table — plain
+    Dataset.join (the hot key's ~3M rows land on ONE aggregator) vs
+    ops/skewjoin.skew_join (heavy-hitter detect -> salt the hot rows
+    over k_salts reduce partitions). Same row count out of both."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray.ops.skewjoin import skew_join
+
+    src = make_input()
+    dim = pd.DataFrame({
+        "user_id": np.arange(100_000, dtype=np.int64),
+        "seg": np.array([f"s{i % 7}" for i in range(100_000)], dtype=object),
+    })
+    dim_parts = [dim.iloc[i:i + 25_000] for i in range(0, 100_000, 25_000)]
+    results = {}
+
+    def left():
+        return _read_parquet(src, columns=["user_id", "value"])
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        n = fn()
+        dt = time.monotonic() - t0
+        results[name] = {"sec": round(dt, 2), "rows_out": int(n),
+                         "rows_per_sec": round(N_ROWS / dt)}
+        print(f"{name}: {results[name]}", flush=True)
+
+    timed("plain_join_20m", lambda: left().join(
+        ray.data.from_pandas(dim_parts), "inner",
+        num_partitions=64, on=("user_id",)).count())
+    timed("skew_join_20m", lambda: skew_join(
+        left(), ray.data.from_pandas(dim_parts), on="user_id",
+        k_salts=32, phi=0.01, num_partitions=64).count())
+
+    print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
+                      "results": results}))
+    ray.shutdown()
+
+
 def main_round4() -> None:
     """Round-4 probes: declarative validation with the fk_exists
     DISTRIBUTED path (broadcast_limit=0 forces the left_anti hash join;
@@ -925,5 +973,7 @@ if __name__ == "__main__":
         main_round4()
     elif ROUND5:
         main_round5()
+    elif SKEWJOIN:
+        main_skewjoin()
     else:
         main()
