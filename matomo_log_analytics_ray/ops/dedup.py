@@ -100,11 +100,16 @@ def exact_dedup_keep_ids(
     # scan above stays fully distributed either way.
     if rows.count() <= combine_limit:
         def combine(b: pd.DataFrame) -> pd.DataFrame:
-            return (
-                b.sort_values(["content_hash", id_col])
-                .groupby("content_hash", as_index=False, sort=False)
-                .first()[[id_col]]
-            )
+            # numpy lexsort + run mask, not groupby.first: at ~unique
+            # hashes groupby pays per-group cost (2.75 s vs 1.0 s at
+            # 3.2M rows) — and this task is the plan's one serial step
+            h = b["content_hash"].to_numpy()
+            i = b[id_col].to_numpy()
+            order = np.lexsort((i, h))
+            hs = h[order]
+            keep = np.ones(len(hs), dtype=bool)
+            keep[1:] = hs[1:] != hs[:-1]
+            return pd.DataFrame({id_col: i[order][keep]})
 
         return drop_empty_blocks(rows).repartition(1).map_batches(
             combine, batch_format="pandas"
