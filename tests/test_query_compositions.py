@@ -50,6 +50,7 @@ NEW_GATES = [
     "quantile_sketch_value",
     "grouped_quantile_sketch",
     "k3_gc_manifest",
+    "skew_join_segment_value",
 ]
 
 
