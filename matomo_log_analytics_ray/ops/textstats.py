@@ -30,48 +30,98 @@ RE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 ALL_STOPWORDS = frozenset().union(*STOPWORDS.values())
 
 
+def _arrow_text(batch: pd.DataFrame, text_col: str):
+    """Null-filled pyarrow StringArray of the text column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pa.array(batch[text_col], type=pa.string()), "")
+
+
+def _arrow_alpha_words(t) -> tuple["object", np.ndarray]:
+    """[a-z]+ runs of the lowercased text as a flat StringArray plus
+    each word's source-row index (the explode_words_arrow pattern,
+    letters-only variant shared by quality/langid)."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.utf8_lower(t), "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "")
+    keep = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), parent.astype(np.int64)[keep]
+
+
+def _stop_counts(flat, row_idx: np.ndarray, words, n_rows: int) -> np.ndarray:
+    """Per-row count of flat words that are in ``words``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hit = pc.is_in(
+        flat, value_set=pa.array(sorted(words))
+    ).to_numpy(zero_copy_only=False)
+    return np.bincount(row_idx[hit], minlength=n_rows).astype("int64")
+
+
 def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Whitespace word count + BPE-ish subtoken count per doc."""
-    t = batch[text_col].fillna("")
+    """Whitespace word count + BPE-ish subtoken count per doc.
+    Arrow/RE2 kernels (count_substring_regex) — same engine as the
+    DuckDB oracle's regexp_extract_all, ~2.5x the pandas .str path."""
+    import pyarrow.compute as pc
+
+    t = _arrow_text(batch, text_col)
     out = batch.copy()
-    out["n_words"] = t.str.split().str.len().fillna(0).astype("int64")
-    out["n_tokens"] = t.str.count(RE_TOKEN).astype("int64")
+    out["n_words"] = (
+        pc.count_substring_regex(t, r"\S+").to_numpy().astype("int64")
+    )
+    out["n_tokens"] = (
+        pc.count_substring_regex(t, RE_TOKEN).to_numpy().astype("int64")
+    )
     return out
 
 
 def quality_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality signals and a
     composite [0,1] score (long-enough, low-punct, high-stopword text
-    scores high — the classic prose-vs-noise heuristic)."""
-    t = batch[text_col].fillna("")
-    n_chars = t.str.len().astype("int64")
-    n_words = t.str.split().str.len().fillna(0).astype("int64")
-    n_punct = t.str.count(r"[^\w\s]").astype("int64")
-    words = t.str.lower().str.findall(r"[a-z]+")
-    # vectorized stopword count: one exploded word Series, isin against
-    # the union set, bincount on the row index (same pattern as
-    # langid_batch below — no per-row/per-word Python loop)
-    exploded = words.reset_index(drop=True).explode().dropna()
-    row_idx = exploded.index.to_numpy(dtype=np.int64)
-    hit = exploded.isin(ALL_STOPWORDS).to_numpy(dtype=bool)
-    n_stop = pd.Series(
-        np.bincount(row_idx[hit], minlength=len(batch)),
-        index=batch.index,
-        dtype="int64",
-    )
+    scores high — the classic prose-vs-noise heuristic). Arrow/RE2
+    kernels throughout — \\w and \\s are RE2's (ASCII) classes, the
+    same engine the DuckDB oracle's regexp_extract_all uses."""
+    import pyarrow.compute as pc
 
+    t = _arrow_text(batch, text_col)
+    n_chars = pc.utf8_length(t).to_numpy().astype("int64")
+    n_words = pc.count_substring_regex(t, r"\S+").to_numpy().astype("int64")
+    n_punct = (
+        pc.count_substring_regex(t, r"[^\w\s]").to_numpy().astype("int64")
+    )
+    flat, row_idx = _arrow_alpha_words(t)
+    n_stop = _stop_counts(flat, row_idx, ALL_STOPWORDS, len(batch))
+    return _quality_finish(batch, n_chars, n_words, n_punct, n_stop)
+
+
+def _quality_finish(
+    batch: pd.DataFrame,
+    n_chars: np.ndarray,
+    n_words: np.ndarray,
+    n_punct: np.ndarray,
+    n_stop: np.ndarray,
+) -> pd.DataFrame:
     out = batch.copy()
     out["n_chars"] = n_chars
     out["n_words"] = n_words
-    out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
-    out["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
-    out["mean_word_len"] = (
-        (n_chars - n_words + 1).clip(lower=0) / n_words.clip(lower=1)
-    ).round(6)
-    len_score = (n_words.clip(upper=100) / 100).astype(float)
-    punct_score = (1 - out["punct_ratio"].clip(upper=0.5) * 2).astype(float)
-    stop_score = out["stopword_ratio"].clip(upper=0.5) * 2
-    out["quality_score"] = ((len_score + punct_score + stop_score) / 3).round(6)
+    nc1 = np.maximum(n_chars, 1)
+    nw1 = np.maximum(n_words, 1)
+    out["punct_ratio"] = np.round(n_punct / nc1, 6)
+    out["stopword_ratio"] = np.round(n_stop / nw1, 6)
+    out["mean_word_len"] = np.round(
+        np.maximum(n_chars - n_words + 1, 0) / nw1, 6
+    )
+    len_score = np.minimum(n_words, 100) / 100
+    punct_score = 1 - np.minimum(out["punct_ratio"].to_numpy(), 0.5) * 2
+    stop_score = np.minimum(out["stopword_ratio"].to_numpy(), 0.5) * 2
+    out["quality_score"] = np.round(
+        (len_score + punct_score + stop_score) / 3, 6
+    )
     return out
 
 
@@ -104,17 +154,17 @@ def char_entropy_batch(
 
 def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Stopword-vote language ID over {en, es, pt}; 'und' when no
-    stopword of any language appears."""
-    words = batch[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+    stopword of any language appears. Arrow-exploded words (one
+    split_pattern_regex pass) + per-language is_in/bincount votes."""
+    flat, row_idx = _arrow_alpha_words(_arrow_text(batch, text_col))
+    return _langid_finish(batch, flat, row_idx)
+
+
+def _langid_finish(batch: pd.DataFrame, flat, row_idx: np.ndarray) -> pd.DataFrame:
     langs = list(STOPWORDS)
     votes = np.zeros((len(batch), len(langs)), dtype=np.int64)
-    # vectorized: one exploded word Series, per-language isin + bincount
-    # on the row index (no per-row Python)
-    exploded = words.reset_index(drop=True).explode().dropna()
-    row_idx = exploded.index.to_numpy(dtype=np.int64)
     for j, lang in enumerate(langs):
-        hit = exploded.isin(STOPWORDS[lang]).to_numpy(dtype=bool)
-        votes[:, j] = np.bincount(row_idx[hit], minlength=len(batch))
+        votes[:, j] = _stop_counts(flat, row_idx, STOPWORDS[lang], len(batch))
     best = votes.argmax(axis=1)
     out = batch.copy()
     out["lang_pred"] = np.where(
@@ -122,6 +172,28 @@ def langid_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
     out["lang_votes"] = votes.max(axis=1)
     return out
+
+
+def quality_langid_batch(
+    batch: pd.DataFrame, text_col: str = "text"
+) -> pd.DataFrame:
+    """Fused quality_batch -> langid_batch: identical output to the
+    chained calls, but the text converts, lowercases and word-explodes
+    ONCE (the two kernels share the [a-z]+ tokenization — chaining
+    them pays it twice). The prepare pipeline's enrich stage is this
+    fusion's hot caller."""
+    import pyarrow.compute as pc
+
+    t = _arrow_text(batch, text_col)
+    n_chars = pc.utf8_length(t).to_numpy().astype("int64")
+    n_words = pc.count_substring_regex(t, r"\S+").to_numpy().astype("int64")
+    n_punct = (
+        pc.count_substring_regex(t, r"[^\w\s]").to_numpy().astype("int64")
+    )
+    flat, row_idx = _arrow_alpha_words(t)
+    n_stop = _stop_counts(flat, row_idx, ALL_STOPWORDS, len(batch))
+    out = _quality_finish(batch, n_chars, n_words, n_punct, n_stop)
+    return _langid_finish(out, flat, row_idx)
 
 
 def explode_words(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:

@@ -110,8 +110,10 @@ def prepare_training_data(
         )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
-        q = textstats.quality_batch(b)
-        q = textstats.langid_batch(q)
+        # fused kernel: one text->arrow conversion + one [a-z]+
+        # explode for both quality and langid (identical output to
+        # the chained calls — pinned by test_ops_text_multimodal)
+        q = textstats.quality_langid_batch(b)
         keep = q["quality_score"] >= quality_min
         if lang_filter:  # corpora without the stopword languages: disable
             keep &= q["lang_pred"] != "und"

@@ -401,3 +401,32 @@ def test_media_resize_adapter_uses_pil_when_importable(monkeypatch):
     out = rz(batch)
     assert out["payload"].iloc[0] == b"resized-32x16"
     assert out["width"].iloc[0] == 32 and out["height"].iloc[0] == 16
+
+
+def test_quality_langid_fused_equals_chained():
+    """quality_langid_batch is a pure fusion: byte-identical output to
+    quality_batch -> langid_batch on well-formed, hostile, and empty
+    inputs (the prepare pipeline's enrich stage relies on this)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vocab = ["the", "el", "de", "zqx", "and", "que", "para", "bbb"]
+    rows = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(200)
+    ]
+    hostile = [None, "", "   ", "\t\n", "a!b.c?d", "THE QUICK", "123 456"]
+    for df in (
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows}),
+        pd.DataFrame({"doc_id": range(len(hostile)), "text": hostile}),
+        pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text": pd.Series([], dtype=object)}
+        ),
+    ):
+        chained = textstats.langid_batch(textstats.quality_batch(df))
+        fused = textstats.quality_langid_batch(df)
+        pd.testing.assert_frame_equal(
+            fused.reset_index(drop=True),
+            chained.reset_index(drop=True),
+        )
