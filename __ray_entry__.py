@@ -4581,11 +4581,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # changed this round (the broadcast verify path, the task-based
     # brute-force scorer, the adaptive candidate distinct, the asof
     # timestamp normalization, sorted_group_* block-list cleaning, the
-    # hostile-fixture unions, the q1 aggregate tail) + the oldest
-    # r1-graded control-plane family (routing/name/summary/status) for
-    # a fresh grade.  Everything displaced is r1-r4-driver-green and
-    # unchanged; it stays covered by tools/check_oracle.py and
-    # tests/test_query_compositions.py.
+    # hostile-fixture unions, the q1 aggregate tail, and — late in the
+    # round — the Arrow/RE2 textstats kernels (token_count/quality/
+    # langid + the fused prepare enrich) and the NEW skew-aware salted
+    # join) + the oldest r1-graded control-plane family
+    # (routing/name/summary/status) for a fresh grade.  Everything
+    # displaced is r1-r4-driver-green and unchanged; it stays covered
+    # by tools/check_oracle.py and tests/test_query_compositions.py.
+    # Displaced for the late changed-code gates (each with a
+    # fresher-graded in-family sibling kept in-window or graded r4):
+    # d1_dedup_events (D1 via k1_manifest_upsert r4),
+    # j5_orders_anti_join (j2 stays), a5_status_resolution (r2),
+    # a7_event_type_counts (A7 via flagship_sink_outcome_counts, in
+    # this window), parse_format_counts (M13 via flagship keystones),
+    # scl_discovery (S1/S2 via k1_manifest_upsert r4).
     window = [
         # keystones
         "flagship_sink_outcome_counts",
@@ -4625,6 +4634,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_counts",
         "prepare_neardup_counts",
         "m8_date_extract",
+        # late changed-code gates: Arrow textstats kernels + new op
+        "text_token_counts",
+        "text_quality",
+        "text_langid",
+        "token_budget_select",
+        "blended_quality_topk",
+        "skew_join_segment_value",
         # oldest r1-graded control-plane family, re-graded
         "routing_server_extract",
         "m5_generic_server_extract",
@@ -4633,15 +4649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m12_summary_counters",
         "a2_date_status",
         "a3_resume_offset",
-        "a5_status_resolution",
-        "a7_event_type_counts",
         "o1_recent_events",
-        "d1_dedup_events",
         "j2_orders_semi_join",
-        "j5_orders_anti_join",
-        "scl_discovery",
         "flagship_global_counters",
-        "parse_format_counts",
     ]
     assert len(window) == 50, len(window)
     full = {
