@@ -409,6 +409,50 @@ def _q_routing_server_extract(sf_dir: str):
     ).map_batches(fn, batch_format="pandas")
 
 
+def _q_m3_m4_server_extract(sf_dir: str):
+    """M3/M4 routing rules (dataverse 'data1'/'data2' basename split,
+    preprints path+basename conjunction; reference
+    libs/lib_file_name.py:34-45) pinned over every fixture path —
+    the dispatch wrapper itself is graded by routing_server_extract."""
+    import pandas as pd
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import routing
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["collection", "path"]].copy()
+        batch["server_dat"] = routing.extract_server(batch["path"], "dat")
+        batch["server_pre"] = routing.extract_server(batch["path"], "pre")
+        return batch
+
+    return _read_parquet(
+        datagen.log_paths_path(), columns=["collection", "path"]
+    ).map_batches(fn, batch_format="pandas")
+
+
+def _q_s3_summary_read(sf_dir: str):
+    """S3 whole-file summary reader (reference libs/lib_summary.py:114-119):
+    real text files -> ray.data.read_binary_files -> normalize/parse ->
+    one counter+status row per file. The oracle reads the SAME bytes via
+    DuckDB read_text and replays the counter regexes + the A5 status
+    resolution joined to the expected-lines table."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from matomo_log_analytics_ray import datagen
+    from matomo_log_analytics_ray.control import summary
+
+    d = datagen.summary_files_dir()
+    files_dir = os.path.join(d, "files")
+    paths = sorted(
+        os.path.join(files_dir, f) for f in os.listdir(files_dir)
+    )
+    exp = _pq.read_table(os.path.join(d, "expected.parquet")).to_pandas()
+    expected = dict(zip(exp["summary_id"], exp["expected_lines"].astype(int)))
+    return summary.read_and_parse_summaries(paths, expected)
+
+
 def _q_scl_discovery(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -4647,8 +4691,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m7_ven_server_extract",
         "m9_name_builders",
         "m12_summary_counters",
-        "a2_date_status",
-        "a3_resume_offset",
+        # NEW this session: the last convertible pytest-only rows
+        # (M3/M4 dataverse+preprints rules, S3 whole-file summary
+        # reader) gain driver oracle gates; displaced to make room:
+        # a2_date_status (A1/A2 — unchanged since its r1 green grade;
+        # t2_date_status_merge, r4-green, covers the date-status
+        # lattice) and a3_resume_offset (grouped max — unchanged since
+        # r1; a6_checkpoint_metrics, r4-green, grades the
+        # partial->final metrics family).
+        "m3_m4_server_extract",
+        "s3_summary_read",
         "o1_recent_events",
         "j2_orders_semi_join",
         "flagship_global_counters",
@@ -4771,6 +4823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "a7_event_type_counts": _q_a7_event_type_counts,
         "j2_orders_semi_join": _q_j2_orders_semi_join,
         "routing_server_extract": _q_routing_server_extract,
+        "m3_m4_server_extract": _q_m3_m4_server_extract,
+        "s3_summary_read": _q_s3_summary_read,
         "a2_date_status": _q_a2_date_status,
         "m5_generic_server_extract": _q_generic_server_extract,
         "m7_ven_server_extract": _q_ven_server_extract,
@@ -4862,6 +4916,8 @@ def _k3_gc_manifest_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from matomo_log_analytics_ray import datagen, oracle
 
     tpath = datagen.transcripts_path("sf0.01")
@@ -5487,6 +5543,11 @@ def oracle_sql() -> dict[str, str]:
         "m5_generic_server_extract": oracle.generic_server_extract_sql(lpath),
         "m7_ven_server_extract": oracle.ven_server_extract_sql(lpath),
         "m12_summary_counters": oracle.summary_counters_sql(spath),
+        "m3_m4_server_extract": oracle.dat_pre_server_extract_sql(lpath),
+        "s3_summary_read": oracle.s3_summary_read_sql(
+            os.path.join(datagen.summary_files_dir(), "files", "*"),
+            os.path.join(datagen.summary_files_dir(), "expected.parquet"),
+        ),
         "a5_status_resolution": oracle.a5_status_resolution_sql(spath),
         "m9_name_builders": (
             f"""SELECT path,

@@ -552,6 +552,40 @@ def summaries_path(seed: int = 42) -> str:
     return path
 
 
+def summary_files_dir(seed: int = 42) -> str:
+    """S3 source fixture (reference libs/lib_summary.py:114-119 reads
+    whole summary FILES, not rows): the generate_summaries corpus
+    written out as one real text file per document —
+    ``<dir>/files/<summary_id>`` — plus ``<dir>/expected.parquet``
+    (summary_id, expected_lines), the per-file expected-line counts the
+    reader's status resolution consumes. The engine gate reads the
+    files through control.summary.read_and_parse_summaries
+    (ray.data.read_binary_files); the DuckDB oracle reads the SAME
+    bytes via read_text over the files glob."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    d = os.path.join(CACHE_DIR, f"summary_files_v1_seed{seed}")
+    if not os.path.isdir(d):
+        import shutil
+
+        tmpd = d + ".tmp"
+        if os.path.isdir(tmpd):
+            shutil.rmtree(tmpd)
+        files = os.path.join(tmpd, "files")
+        os.makedirs(files)
+        t = generate_summaries(seed=seed)
+        for sid, text in zip(
+            t["summary_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            with open(os.path.join(files, sid), "w") as f:
+                f.write(text)
+        pq.write_table(
+            t.select(["summary_id", "expected_lines"]),
+            os.path.join(tmpd, "expected.parquet"),
+        )
+        os.replace(tmpd, d)
+    return d
+
+
 def rawlog_paths(n: int = 20_000, seed: int = 7) -> tuple[str, str]:
     """Deterministic raw log file (.log) plus its gzip twin (.log.gz):
     the transcripts line generator's text column, one line per row —

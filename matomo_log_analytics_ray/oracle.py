@@ -433,6 +433,85 @@ def ven_server_extract_sql(log_paths_parquet: str) -> str:
     )
 
 
+def dat_pre_server_extract_sql(log_paths_parquet: str) -> str:
+    """M3/M4 routing oracle: the dataverse and preprints rule cascades
+    (routing._rule_dat / _rule_pre; reference libs/lib_file_name.py:34-45)
+    as SQL CASEs over path and basename, evaluated over EVERY fixture
+    path (like server_extract_sql: the dispatch itself is exercised by
+    routing_server_extract; this gate pins the two rules' outputs)."""
+    base = "regexp_extract(path, '([^/]+)$', 1)"
+    dat = (
+        "CASE WHEN contains(path, 'dataverse') AND "
+        f"contains({base}, 'data.scielo') THEN 'data2' "
+        "WHEN contains(path, 'dataverse') THEN 'data1' ELSE '' END"
+    )
+    pre = (
+        "CASE WHEN contains(path, 'preprints') AND "
+        f"contains({base}, 'preprints') THEN 'preprints' ELSE '' END"
+    )
+    return (
+        f"SELECT collection, path, {dat} AS server_dat, {pre} AS server_pre "
+        f"FROM read_parquet('{log_paths_parquet}')"
+    )
+
+
+def s3_summary_read_sql(files_glob: str, expected_parquet: str) -> str:
+    """S3 oracle: the whole-file summary reader
+    (control/summary.read_and_parse_summaries, reference
+    libs/lib_summary.py:114-119) replayed over the SAME bytes via
+    DuckDB read_text — counter extraction (the m12 greedy-last regex),
+    total_time, and the full A5 status / lines_parsed resolution keyed
+    by file basename joined to the expected-lines table."""
+    from .control import summary as summod
+
+    cols = [
+        f"{_summary_counter_expr(attr)} AS {attr}"
+        for attr in summod.COUNTER_ATTRS
+    ]
+    time_expr = (
+        "COALESCE(CAST(regexp_extract(lower(text), "
+        "'(?s).*total time[^\\n0-9]*([0-9]+)', 1) AS BIGINT), 0)"
+    )
+    retry = summod.RETRY_DIFF_LINES
+    win = "BETWEEN expected_lines - 1 AND expected_lines + 1"
+    return f"""
+WITH files AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS summary_id,
+        content AS text
+    FROM read_text('{files_glob}')
+), j AS (
+    SELECT f.summary_id, f.text, e.expected_lines
+    FROM files f JOIN read_parquet('{expected_parquet}') e USING (summary_id)
+), base AS (
+    SELECT summary_id, expected_lines, {', '.join(cols)},
+        {time_expr} AS total_time,
+        COALESCE(regexp_extract(lower(text), '\\n([^\\n]*lines parsed[^\\n]*)', 1), '') AS lp_line
+    FROM j
+), d AS (
+    SELECT * EXCLUDE (lp_line),
+        requests_imported_successfully + requests_ignored AS total,
+        len(regexp_extract_all(lp_line, '[0-9]+')) AS n_nums,
+        COALESCE(CAST(NULLIF(regexp_extract(lp_line, '([0-9]+)', 1), '') AS BIGINT), 0) AS parsed,
+        lp_line
+    FROM base
+)
+SELECT * EXCLUDE (expected_lines, total, n_nums, parsed, lp_line),
+    CAST(CASE WHEN total {win} THEN 2
+              WHEN lp_line = '' THEN 0
+              WHEN n_nums <> 4 THEN -1
+              WHEN parsed {win} THEN 2
+              WHEN parsed - {retry} > 0 THEN 1
+              ELSE -1 END AS BIGINT) AS status,
+    CAST(CASE WHEN total {win} THEN total
+              WHEN lp_line = '' THEN 0
+              WHEN n_nums <> 4 THEN 0
+              WHEN parsed {win} THEN parsed
+              WHEN parsed - {retry} > 0 THEN parsed - {retry}
+              ELSE 0 END AS BIGINT) AS lines_parsed,
+    CAST(total AS BIGINT) AS sum_imported_ignored_lines
+FROM d"""
+
+
 def scl_date_status_sql(log_paths_parquet: str) -> str:
     """A1/A2 oracle: scl discovery -> mark valid files LOADED -> per-date
     completeness via the piecewise expected-count table (generated from

@@ -51,6 +51,8 @@ NEW_GATES = [
     "grouped_quantile_sketch",
     "k3_gc_manifest",
     "skew_join_segment_value",
+    "m3_m4_server_extract",
+    "s3_summary_read",
 ]
 
 
