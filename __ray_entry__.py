@@ -2820,6 +2820,27 @@ def _q_distinct_users_hll(sf_dir: str):
     return distinct.hll_distinct_counts(ds, "event_type", "user_id")
 
 
+def _q_cms_user_freq(sf_dir: str):
+    """Count-min sketch point-frequency estimates (ops/cms.py) for every
+    user over the events stream: ONE streaming pass of (depth x width)
+    grid partials, element-wise driver sum, min-over-rows estimates for
+    the (small) distinct-user query side. Approximate with a one-sided
+    guarantee (est >= exact), so no SQL oracle; the error-bound, exact
+    merge-additivity and partition-invariance properties are
+    pytest-gated in tests/test_cms.py (exact sibling gate:
+    a7_event_type_counts / per-key count family)."""
+    import numpy as np
+
+    from matomo_log_analytics_ray.ops import cms
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    keys = np.unique(
+        ds.to_pandas()["user_id"].to_numpy()
+    )  # sf query side; at scale pass a bounded candidate list instead
+    out = cms.cms_key_estimates(ds, "user_id", keys)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_word_doc_freq(sf_dir: str):
     """Vocab building: top-20 words by document frequency (ops/
     textstats.word_doc_freq) — distinct (doc, word) pairs dedup
@@ -4762,6 +4783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "kmeans_clusters": _q_kmeans_clusters,
         "distinct_users_hll": _q_distinct_users_hll,
+        "cms_user_freq": _q_cms_user_freq,
         "scl_discovery": _q_scl_discovery,
         "m8_date_extract": _q_date_extract,
         "text_quality": _q_text_quality,
