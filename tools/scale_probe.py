@@ -956,6 +956,61 @@ def main_round4() -> None:
     ray.shutdown()
 
 
+CMS = "--cms" in sys.argv
+
+
+def main_cms() -> None:
+    """Count-min sketch probe (--cms [--skew]): 20M-row events — the
+    one-scan grid sketch + 100k point estimates vs the exact per-key
+    groupby count. Reports both wall times and the worst overshoot on
+    the 100 hottest keys (must respect the one-sided 2N/w bound)."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from matomo_log_analytics_ray.ops import cms
+
+    src = make_input()
+    results = {}
+
+    def rd():
+        return _read_parquet(src, columns=["user_id"])
+
+    t0 = time.monotonic()
+    grid = cms.cms_sketch(rd(), "user_id", width=65536)
+    keys = np.arange(100_000, dtype=np.int64)
+    est = cms.cms_estimate(grid, pd.Series(keys))
+    dt_cms = time.monotonic() - t0
+    results["cms_sketch_20m"] = {
+        "sec": round(dt_cms, 2), "rows_per_sec": round(N_ROWS / dt_cms),
+        "grid_bytes": int(grid.nbytes)}
+    print(f"cms_sketch_20m: {results['cms_sketch_20m']}", flush=True)
+
+    t0 = time.monotonic()
+    exact = (
+        rd().groupby("user_id").count().to_pandas()
+        .rename(columns={"count()": "n"})
+    )
+    dt_exact = time.monotonic() - t0
+    results["exact_counts_20m"] = {
+        "sec": round(dt_exact, 2), "rows_per_sec": round(N_ROWS / dt_exact)}
+    print(f"exact_counts_20m: {results['exact_counts_20m']}", flush=True)
+
+    exact = exact.sort_values("n", ascending=False).head(100)
+    e = dict(zip(keys, est))
+    overs = [int(e[int(k)]) - int(n) for k, n in zip(exact["user_id"], exact["n"])]
+    assert min(overs) >= 0, "one-sided guarantee violated"
+    results["top100_overshoot"] = {
+        "max": max(overs), "bound_2n_over_w": round(2 * N_ROWS / 65536)}
+    print(f"top100_overshoot: {results['top100_overshoot']}", flush=True)
+
+    print(json.dumps({"n_rows": N_ROWS, "skew": SKEW, "num_cpus": 32,
+                      "results": results}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if ANN:
         main_ann()
@@ -975,5 +1030,7 @@ if __name__ == "__main__":
         main_round5()
     elif SKEWJOIN:
         main_skewjoin()
+    elif CMS:
+        main_cms()
     else:
         main()
