@@ -25,6 +25,14 @@ salt columns, no extra passes beyond the detection scan). Inner-join
 semantics match ANSI SQL: NULL keys never match and are filtered from
 both sides before the join.
 
+Tiny-cluster note: Ray's ``Dataset.join`` (ray 2.49) deadlocks on
+2-3-CPU clusters — the hash-shuffle aggregator actors plus one
+in-flight 1-CPU map task starve every other operator in the plan
+(reproduced: a 3.2M x 3M inner join hangs at num_cpus=2, finishes in
+10.6 s at num_cpus=4; see pipelines/prepare.MIN_JOIN_CPUS, whose
+semi-join broadcasts instead below 4 CPUs). This op targets real
+multi-node clusters; don't run it on a < 4-CPU session.
+
 Cost note: detection streams the left input twice (sketch + verify)
 and the join streams it a third time, so pass a cheap-to-recompute
 dataset (a pruned ``read_parquet`` projection) or materialize small

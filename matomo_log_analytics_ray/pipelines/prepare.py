@@ -40,6 +40,44 @@ from ..ops import dedup, split as split_ops, textstats
 
 QUALITY_MIN = 0.3
 
+# broadcast/shuffle crossover for the dedup keep-id semi-join: ids are
+# 8 B each, so 50M ids = 400 MB shared read-only via the object store —
+# cheap on any real worker. The hash-join fallback exists for the
+# 10^9+-id keep sets a 100 TB corpus produces (a broadcast there would
+# be tens of GB per node).
+BROADCAST_IDS_LIMIT = 50_000_000
+
+# ``Dataset.join`` wedges on 2-3-CPU clusters: the hash-shuffle
+# aggregator actors (0.125 CPU each) plus one in-flight 1-CPU map task
+# leave < 1 whole CPU for every other operator in the plan, and the
+# streaming executor never frees it — reproduced (ray 2.49) with a
+# 3.2M x 3M inner join at num_cpus=2 hanging >7 min that num_cpus=4
+# finishes in 10.6 s. Below this many CPUs the semi-join broadcasts
+# regardless of size (loudly) instead of joining.
+MIN_JOIN_CPUS = 4
+
+
+def semi_join_path(keep_count: int, broadcast_limit: int, cpus: int) -> str:
+    """Decide the keep-set semi-join strategy: ``broadcast`` (ray.put
+    once + searchsorted filter) or ``join`` (hash-partitioned
+    ``Dataset.join``). Factored out so the tiny-cluster guard is unit-
+    testable without spinning 2-CPU Ray sessions."""
+    if keep_count <= broadcast_limit:
+        return "broadcast"
+    if cpus < MIN_JOIN_CPUS:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "keep set (%d ids) exceeds broadcast_limit=%d but the "
+            "cluster has only %d CPUs — Dataset.join deadlocks below "
+            "%d CPUs (see prepare.MIN_JOIN_CPUS); broadcasting anyway "
+            "(%.0f MB pinned per node)",
+            keep_count, broadcast_limit, cpus, MIN_JOIN_CPUS,
+            keep_count * 8 / 1e6,
+        )
+        return "broadcast"
+    return "join"
+
 
 def prepare_training_data(
     docs: "ray.data.Dataset",
@@ -48,7 +86,7 @@ def prepare_training_data(
     fractions: dict[str, float] | None = None,
     num_partitions: int | None = None,
     lang_filter: bool = True,
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int = BROADCAST_IDS_LIMIT,
     near_dup: bool = False,
     near_dup_threshold: float = 0.8,
 ) -> pd.DataFrame:
@@ -65,7 +103,8 @@ def prepare_training_data(
     # deciding broadcast-vs-join and the chosen path don't each re-run
     # the content-hash + sort chain
     keep = dedup.exact_dedup_keep_ids(docs).materialize()
-    if keep.count() <= broadcast_limit:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if semi_join_path(keep.count(), broadcast_limit, cpus) == "broadcast":
         # keep-set fits in memory as a sorted id array: ray.put once,
         # vectorized searchsorted membership per batch — no shuffle,
         # and a plain-function stage fuses with the read + enrich

@@ -142,3 +142,42 @@ def test_prepare_near_dup_drops_cluster_members():
     # drops 1 and 2 (transitively clustered with 0) -> 3 docs
     assert int(plain["n_docs"].sum()) == 5
     assert int(near["n_docs"].sum()) == 3
+
+
+def test_semi_join_path_guard():
+    """The keep-set semi-join picks broadcast under the limit, join
+    past it on a real cluster, and NEVER join below MIN_JOIN_CPUS
+    (Dataset.join deadlocks at 2-3 CPUs — see prepare.MIN_JOIN_CPUS)."""
+    assert prepare.semi_join_path(100, 1000, cpus=32) == "broadcast"
+    assert prepare.semi_join_path(2000, 1000, cpus=32) == "join"
+    assert prepare.semi_join_path(2000, 1000, cpus=2) == "broadcast"
+    assert prepare.semi_join_path(2000, 1000, cpus=3) == "broadcast"
+    assert prepare.semi_join_path(2000, 1000, cpus=4) == "join"
+
+
+def test_prepare_join_path_matches_broadcast():
+    """Forcing the hash-join fallback (broadcast_limit=0) on the 4-CPU
+    test session returns identical counters to the broadcast path."""
+    rng = np.random.default_rng(5)
+    n = 4000
+    texts = [
+        " ".join(
+            f"w{int(x)}" for x in rng.integers(0, 2000, 12)
+        )
+        + " the and is of to in"  # stopwords so langid != und
+        for _ in range(n // 2)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts + texts,  # every text duplicated once
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    bcast = prepare.prepare_training_data(ds)
+    joined = prepare.prepare_training_data(ds, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        bcast.sort_values("split").reset_index(drop=True),
+        joined.sort_values("split").reset_index(drop=True),
+    )
+    assert int(bcast["n_docs"].sum()) == n // 2
