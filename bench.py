@@ -243,26 +243,38 @@ def main() -> None:
                 shutil.rmtree(scratch, ignore_errors=True)
                 t0 = time.monotonic()
                 _prep.prepare_training_data(
-                    # a single parquet file defaults to ~4 x 128MB read
-                    # blocks, capping every downstream stage's
-                    # parallelism — split to cluster width up front
+                    # DATA-determined block count (100k docs/block), the
+                    # same at both cluster sizes: a real N-vs-4N-node
+                    # comparison holds block size constant. The earlier
+                    # 4*num_cpus sizing handed the small leg 4x-bigger
+                    # blocks — at 6.4M docs that is 800k docs (~180 MB
+                    # of text) per task, whose enrich-stage token
+                    # explosion drove per-task memory/GC superlinear
+                    # and inflated sec_2 ~3.2x for 2x the input
+                    # (measured: efficiency 1.35, an artifact).
                     _read_parquet(
                         dpath,
                         columns=["doc_id", "text"],
-                        override_num_blocks=4 * num_cpus,
+                        override_num_blocks=max(8, n_docs // 100_000),
                     ),
                     out_dir=scratch,
                 )
                 return time.monotonic() - t0
 
             run_once()  # untimed warm-up (JIT, worker images)
-            wall, rows = run_once(), n_docs
+            # min over two timed runs: per-leg wall time varies +-15%
+            # run-to-run on this box (measured 17.8-23.1 s at 8 CPUs
+            # on identical input), which swamps single-run efficiency
+            # ratios; min is the standard least-noise wall estimator
+            wall, rows = min(run_once(), run_once()), n_docs
             shutil.rmtree(scratch, ignore_errors=True)
         else:
             path = _bench_transcripts_path(bench_turns)
             _warm(path)
             run_flagship_timed(path)  # untimed warm-up (JIT, actor images)
-            wall, rows = run_flagship_timed(path)
+            wall, rows = min(
+                run_flagship_timed(path)[0], run_flagship_timed(path)[0]
+            ), bench_turns
         import ray
 
         ray.shutdown()

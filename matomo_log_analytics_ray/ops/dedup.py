@@ -79,6 +79,52 @@ def first_token_key(text: pd.Series) -> pd.Series:
     return text.str.split(" ", n=1).str[0]
 
 
+def exact_dedup_hash_partials(
+    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Per-block-reduced (content_hash, id) partials: hash every text,
+    then keep min id per hash WITHIN the block before anything shuffles
+    (combiner — global min-per-hash == min over per-block mins, so any
+    downstream finish is exact). On dup-heavy corpora this shrinks the
+    combine/sort input toward the distinct-text count; on all-unique
+    input it costs one parallel per-block lexsort."""
+    hash_fn = _content_hash_batch(id_col, text_col)
+
+    def hash_and_block_reduce(batch: pd.DataFrame) -> pd.DataFrame:
+        b = hash_fn(batch)
+        h = b["content_hash"].to_numpy()
+        i = b[id_col].to_numpy()
+        order = np.lexsort((i, h))
+        hs = h[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = hs[1:] != hs[:-1]
+        return pd.DataFrame(
+            {"content_hash": hs[keep], id_col: i[order][keep]}
+        )
+
+    return docs.map_batches(hash_and_block_reduce, batch_format="pandas")
+
+
+def keep_ids_array_from_partials(
+    partials_df: pd.DataFrame, id_col: str = "doc_id"
+) -> np.ndarray:
+    """Driver finish for the BROADCAST path: one lexsort + run mask
+    over the pulled partials, ids returned SORTED (the layout the
+    searchsorted membership filter wants). Skips the repartition(1)
+    barrier and the second driver pull the Dataset-form finish pays —
+    only valid when the partials fit on the driver (the caller's
+    broadcast-limit decision)."""
+    if len(partials_df) == 0:
+        return np.empty(0, dtype=np.int64)
+    h = partials_df["content_hash"].to_numpy()
+    i = partials_df[id_col].to_numpy(dtype=np.int64)
+    order = np.lexsort((i, h))
+    hs = h[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = hs[1:] != hs[:-1]
+    return np.sort(i[order][keep])
+
+
 def exact_dedup_keep_ids(
     docs: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -91,9 +137,7 @@ def exact_dedup_keep_ids(
     (per-group Python cost dominates at ~distinct-text cardinality)."""
     from . import default_join_partitions, drop_empty_blocks
 
-    rows = docs.map_batches(
-        _content_hash_batch(id_col, text_col), batch_format="pandas"
-    ).materialize()
+    rows = exact_dedup_hash_partials(docs, id_col, text_col).materialize()
     # Adaptive combine (the q3/qsketch pattern): the (hash, id)
     # projection is 16 B/row, so <= 5M rows is <= 80 MB — one lexsort
     # task beats the range-sort exchange's ~2s fixed cost. The hashing
@@ -114,13 +158,26 @@ def exact_dedup_keep_ids(
         return drop_empty_blocks(rows).repartition(1).map_batches(
             combine, batch_format="pandas"
         )
-    # the (hash, id) projection inherits the READ's block count, and a
-    # single large parquet file reads as ~4 x 128MB blocks — which
-    # caps the sort at 4 partitions no matter the cluster size
-    # (measured 18.6 s -> 5.2 s at 8 CPUs on 1.6M docs). Repartition
-    # the 16-byte-per-row projection up to the cluster width first;
-    # the pass is trivial next to the sort it unblocks.
-    rows = rows.repartition(max(2, 2 * default_join_partitions()))
+    return keep_ids_ds_from_partials(rows, id_col)
+
+
+def keep_ids_ds_from_partials(
+    partials: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed finish over (content_hash, id) partials: range sort
+    + min per hash run. The (hash, id) projection inherits the READ's
+    block count, and a single large parquet file reads as ~4 x 128MB
+    blocks — which caps the sort at 4 partitions no matter the cluster
+    size (measured 18.6 s -> 5.2 s at 8 CPUs on 1.6M docs).
+    Repartition the 16-byte-per-row projection up to the cluster width
+    first; the pass is trivial next to the sort it unblocks."""
+    from . import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = 2 * default_join_partitions()
+    rows = partials.repartition(max(2, num_partitions))
     return sorted_group_first(rows, ["content_hash"], id_col).select_columns([id_col])
 
 

@@ -99,18 +99,23 @@ def prepare_training_data(
 
         num_partitions = default_join_partitions()
 
-    # materialize the keep-id projection ONCE (ids only, 8 B each) so
+    # materialize the per-block-reduced (hash, id) partials ONCE so
     # deciding broadcast-vs-join and the chosen path don't each re-run
-    # the content-hash + sort chain
-    keep = dedup.exact_dedup_keep_ids(docs).materialize()
+    # the content-hash scan. The partial count upper-bounds the keep
+    # count (per-block min-per-hash already applied), so it is the
+    # conservative broadcast/join decision input.
+    partials = dedup.exact_dedup_hash_partials(docs).materialize()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    if semi_join_path(keep.count(), broadcast_limit, cpus) == "broadcast":
-        # keep-set fits in memory as a sorted id array: ray.put once,
+    if semi_join_path(partials.count(), broadcast_limit, cpus) == "broadcast":
+        # keep-set fits in memory as a sorted id array: finish the
+        # min-per-hash on the DRIVER in the same single pull that the
+        # broadcast needs anyway (one lexsort; skips the Dataset-form
+        # finish's repartition(1) barrier + second pull), ray.put once,
         # vectorized searchsorted membership per batch — no shuffle,
         # and a plain-function stage fuses with the read + enrich
         # (ray.get of the shared array is a zero-copy local fetch)
         ids_ref = ray.put(
-            np.sort(keep.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+            dedup.keep_ids_array_from_partials(partials.to_pandas())
         )
 
         def keep_filter(b: pd.DataFrame) -> pd.DataFrame:
@@ -122,6 +127,11 @@ def prepare_training_data(
 
         surviving = docs.map_batches(keep_filter, batch_format="pandas")
     else:
+        # distributed finish over the shared partials (range sort ->
+        # min per hash run), then the hash join
+        keep = dedup.keep_ids_ds_from_partials(
+            partials, num_partitions=num_partitions
+        )
         surviving = docs.join(
             # keep descends from sorted_group_first's sort/union, which
             # can emit schema-less EMPTY blocks that poison the join
