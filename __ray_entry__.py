@@ -4653,6 +4653,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (routing/name/summary/status) for a fresh grade.  Everything
     # displaced is r1-r4-driver-green and unchanged; it stays covered
     # by tools/check_oracle.py and tests/test_query_compositions.py.
+    # Late-session swaps: dedup_exact_docs rotated IN (its backing
+    # exact_dedup_keep_ids gained the per-block combiner + partials
+    # split this session), m9_name_builders rotated out (r1-green,
+    # unchanged; the name-builder family shares the in-window routing
+    # fixtures and m12/m3_m4 grades). m3_m4_server_extract +
+    # s3_summary_read are NEW gates this session, displacing
+    # a2_date_status / a3_resume_offset (unchanged r1-green,
+    # r4-green in-family siblings).
     # Displaced for the late changed-code gates (each with a
     # fresher-graded in-family sibling kept in-window or graded r4):
     # d1_dedup_events (D1 via k1_manifest_upsert r4),
@@ -4677,6 +4685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round
         "k3_gc_manifest",
         # changed-code gates this round
+        "dedup_exact_docs",
         "dedup_clusters",
         "similarity_topk",
         "similarity_ivf_topk",
@@ -4710,7 +4719,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routing_server_extract",
         "m5_generic_server_extract",
         "m7_ven_server_extract",
-        "m9_name_builders",
         "m12_summary_counters",
         # NEW this session: the last convertible pytest-only rows
         # (M3/M4 dataverse+preprints rules, S3 whole-file summary
