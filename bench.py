@@ -272,9 +272,10 @@ def main() -> None:
             path = _bench_transcripts_path(bench_turns)
             _warm(path)
             run_flagship_timed(path)  # untimed warm-up (JIT, actor images)
-            wall, rows = min(
-                run_flagship_timed(path)[0], run_flagship_timed(path)[0]
-            ), bench_turns
+            w1, r1 = run_flagship_timed(path)
+            w2, r2 = run_flagship_timed(path)
+            assert r1 == r2, (r1, r2)
+            wall, rows = min(w1, w2), r1
         import ray
 
         ray.shutdown()

@@ -56,14 +56,28 @@ _ROW_SALTS = tuple(
 
 
 def _key_hashes(vals: pd.Series) -> np.ndarray:
-    """uint64 hash per non-null key (ints hashed by value, everything
-    else through the deterministic string hash)."""
+    """uint64 hash per non-null key. Integer keys hash by VALUE;
+    integral floats hash identically to the same integer (elementwise,
+    so the identity holds regardless of batch composition — a float64
+    column holding 1.0 and an int64 column holding 1 agree, which is
+    what makes None-coerced integer query keys work); everything else
+    hashes through the deterministic string hash."""
     vals = vals.dropna()
     if len(vals) == 0:
         return np.empty(0, dtype=np.uint64)
     if vals.dtype.kind in "iu":
         return hashing.mix(vals.to_numpy(dtype=np.uint64))
-    return hashing.hash_strings(vals)
+    if vals.dtype.kind == "f":
+        v = vals.to_numpy()
+        with np.errstate(invalid="ignore"):
+            as_int = np.where(np.isfinite(v), v, 0).astype(np.int64)
+        integral = np.isfinite(v) & (as_int == v)
+        return np.where(
+            integral,
+            hashing.mix(as_int.astype(np.uint64)),
+            hashing.hash_strings(vals.astype(str)),
+        )
+    return hashing.hash_strings(vals.astype(str))
 
 
 def _fold(h: np.ndarray, depth: int, width: int) -> np.ndarray:
@@ -107,15 +121,25 @@ def cms_estimate(
     grid: np.ndarray, keys: pd.Series | np.ndarray
 ) -> np.ndarray:
     """Point-frequency estimates (int64) for ``keys`` against a merged
-    grid: min over the depth rows — never under the true count."""
+    grid: min over the depth rows — never under the true count. The
+    output is POSITIONALLY aligned with ``keys``: null keys estimate 0
+    (the sketch never counted them). Integral floats hash identically
+    to the same integers (see _key_hashes), so int queries against an
+    int sketch survive pandas' int->float None-coercion; querying with
+    a genuinely different value representation (e.g. stringified ints
+    against an int sketch) still breaks the guarantee."""
     depth, width = grid.shape
-    h = _key_hashes(pd.Series(keys))
-    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    keys = pd.Series(keys).reset_index(drop=True)
+    valid = keys.notna().to_numpy()
+    h = _key_hashes(keys[valid])
+    sub = np.full(int(valid.sum()), np.iinfo(np.int64).max, dtype=np.int64)
     for r in range(depth):
         cols = (hashing.mix(h ^ _ROW_SALTS[r]) % np.uint64(width)).astype(
             np.int64
         )
-        est = np.minimum(est, grid[r, cols])
+        sub = np.minimum(sub, grid[r, cols])
+    est = np.zeros(len(keys), dtype=np.int64)
+    est[valid] = sub
     return est
 
 

@@ -79,6 +79,18 @@ def first_token_key(text: pd.Series) -> pd.Series:
     return text.str.split(" ", n=1).str[0]
 
 
+def _min_id_per_hash(h: np.ndarray, i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """min id per hash via ONE lexsort + run mask (no per-group Python;
+    groupby.first measured 2.75 s vs 1.0 s at 3.2M ~unique hashes).
+    Returns (kept hashes, kept ids) in hash order; id dtype preserved
+    (callers cast where a fixed dtype matters)."""
+    order = np.lexsort((i, h))
+    hs = h[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = hs[1:] != hs[:-1]
+    return hs[keep], i[order][keep]
+
+
 def exact_dedup_hash_partials(
     docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
 ) -> "ray.data.Dataset":
@@ -92,15 +104,10 @@ def exact_dedup_hash_partials(
 
     def hash_and_block_reduce(batch: pd.DataFrame) -> pd.DataFrame:
         b = hash_fn(batch)
-        h = b["content_hash"].to_numpy()
-        i = b[id_col].to_numpy()
-        order = np.lexsort((i, h))
-        hs = h[order]
-        keep = np.ones(len(hs), dtype=bool)
-        keep[1:] = hs[1:] != hs[:-1]
-        return pd.DataFrame(
-            {"content_hash": hs[keep], id_col: i[order][keep]}
+        hs, ik = _min_id_per_hash(
+            b["content_hash"].to_numpy(), b[id_col].to_numpy()
         )
+        return pd.DataFrame({"content_hash": hs, id_col: ik})
 
     return docs.map_batches(hash_and_block_reduce, batch_format="pandas")
 
@@ -116,13 +123,11 @@ def keep_ids_array_from_partials(
     broadcast-limit decision)."""
     if len(partials_df) == 0:
         return np.empty(0, dtype=np.int64)
-    h = partials_df["content_hash"].to_numpy()
-    i = partials_df[id_col].to_numpy(dtype=np.int64)
-    order = np.lexsort((i, h))
-    hs = h[order]
-    keep = np.ones(len(hs), dtype=bool)
-    keep[1:] = hs[1:] != hs[:-1]
-    return np.sort(i[order][keep])
+    _, ik = _min_id_per_hash(
+        partials_df["content_hash"].to_numpy(),
+        partials_df[id_col].to_numpy(dtype=np.int64),
+    )
+    return np.sort(ik)
 
 
 def exact_dedup_keep_ids(
@@ -144,16 +149,11 @@ def exact_dedup_keep_ids(
     # scan above stays fully distributed either way.
     if rows.count() <= combine_limit:
         def combine(b: pd.DataFrame) -> pd.DataFrame:
-            # numpy lexsort + run mask, not groupby.first: at ~unique
-            # hashes groupby pays per-group cost (2.75 s vs 1.0 s at
-            # 3.2M rows) — and this task is the plan's one serial step
-            h = b["content_hash"].to_numpy()
-            i = b[id_col].to_numpy()
-            order = np.lexsort((i, h))
-            hs = h[order]
-            keep = np.ones(len(hs), dtype=bool)
-            keep[1:] = hs[1:] != hs[:-1]
-            return pd.DataFrame({id_col: i[order][keep]})
+            # this task is the plan's one serial step
+            _, ik = _min_id_per_hash(
+                b["content_hash"].to_numpy(), b[id_col].to_numpy()
+            )
+            return pd.DataFrame({id_col: ik})
 
         return drop_empty_blocks(rows).repartition(1).map_batches(
             combine, batch_format="pandas"

@@ -40,11 +40,14 @@ from ..ops import dedup, split as split_ops, textstats
 
 QUALITY_MIN = 0.3
 
-# broadcast/shuffle crossover for the dedup keep-id semi-join: ids are
-# 8 B each, so 50M ids = 400 MB shared read-only via the object store —
-# cheap on any real worker. The hash-join fallback exists for the
-# 10^9+-id keep sets a 100 TB corpus produces (a broadcast there would
-# be tens of GB per node).
+# broadcast/shuffle crossover for the dedup keep-id semi-join. The
+# PINNED broadcast is ids only (8 B each: 50M ids = 400 MB shared
+# read-only via the object store), but the driver finish transiently
+# pulls the (hash, id) partials at 16 B/row plus pandas/lexsort
+# temporaries — budget ~4x the pinned size (~2-3 GB peak at this
+# limit) on the driver. Lower the limit for small drivers. The
+# hash-join fallback exists for the 10^9+-id keep sets a 100 TB
+# corpus produces (a broadcast there would be tens of GB per node).
 BROADCAST_IDS_LIMIT = 50_000_000
 
 # ``Dataset.join`` wedges on 2-3-CPU clusters: the hash-shuffle
@@ -71,9 +74,10 @@ def semi_join_path(keep_count: int, broadcast_limit: int, cpus: int) -> str:
             "keep set (%d ids) exceeds broadcast_limit=%d but the "
             "cluster has only %d CPUs — Dataset.join deadlocks below "
             "%d CPUs (see prepare.MIN_JOIN_CPUS); broadcasting anyway "
-            "(%.0f MB pinned per node)",
+            "(%.0f MB pinned per node; driver peak ~%.0f MB during "
+            "the partials pull + lexsort)",
             keep_count, broadcast_limit, cpus, MIN_JOIN_CPUS,
-            keep_count * 8 / 1e6,
+            keep_count * 8 / 1e6, keep_count * 8 * 4 / 1e6,
         )
         return "broadcast"
     return "join"
@@ -130,7 +134,10 @@ def prepare_training_data(
         # distributed finish over the shared partials (range sort ->
         # min per hash run), then the hash join
         keep = dedup.keep_ids_ds_from_partials(
-            partials, num_partitions=num_partitions
+            # 2x the join width for the range sort: the (hash, id)
+            # projection otherwise inherits the read's block count,
+            # capping sort parallelism (see keep_ids_ds_from_partials)
+            partials, num_partitions=2 * num_partitions
         )
         surviving = docs.join(
             # keep descends from sorted_group_first's sort/union, which

@@ -66,6 +66,15 @@ def test_string_keys_and_nulls():
     assert est["zzz"] == 0
 
 
+def test_estimate_alignment_with_null_keys():
+    df = pd.DataFrame({"k": [1, 1, 2, 3]})
+    grid = cms.cms_sketch(ray.data.from_pandas(df), "k")
+    est = cms.cms_estimate(grid, pd.Series([1, None, 2]))
+    # positionally aligned: 3 estimates for 3 keys, null -> 0
+    assert len(est) == 3
+    assert est[0] == 2 and est[1] == 0 and est[2] == 1
+
+
 def test_empty_and_bad_depth():
     ds = ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
     grid = cms.cms_sketch(ds, "k")
